@@ -1,0 +1,324 @@
+"""TPU-native Dynamic Neighbor-Joining engine (JAX).
+
+Cycle-accurate DNJ (reference dnj.c:985-1052) on device:
+
+- state: square distance matrix D (missing < 0), row sums sD, pair
+  counts N, and the reference's asymmetric row caches — Q[i]/P[i] cover
+  partners j < i only, exactly like the lower-triangular C engine
+  (dnj.c:43-128).
+- the ENTIRE join loop is one device program (``lax.fori_loop`` over
+  joins).  Pair selection replicates minQpair's seeded descending scan
+  with strict-< tightening (a nested ``lax.while_loop`` revalidates only
+  the rows the C would); updateDNJ / DNJ_popArrange cache repair,
+  including their mi/mj candidate returns and the qPos seed chaining
+  (dnj.c:1009-1034), are masked O(n) vector ops with the reference's
+  last-wins tie rules.
+- the host receives all (i, j, Li, Lj) join records in one transfer and
+  assembles the Newick string.
+
+With float64 state this reproduces the exact engine's join trajectory
+(and therefore the reference's Newick bytes) whenever summation-order
+ulp differences don't flip a strict comparison; ties — including the
+guaranteed three-way tie at the final join — resolve identically by
+construction.  float32 is the TPU-native dtype for large runs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..io.qseqs import Name
+from .newick_build import form_node, form_last_node, form_last_bi_node, \
+    byteshift_fix
+
+BIG = np.finfo(np.float64).max  # stands in for the reference's DBL_MAX
+
+
+def _pad(n: int, mult: int = 128) -> int:
+    return max(-(-n // mult) * mult, mult)
+
+
+@functools.partial(jax.jit, static_argnames=("neg_limbs",),
+                   donate_argnums=(0,))
+def dnj_joins(D, m, neg_limbs=False):
+    """Run all m-2 DNJ joins on device.
+
+    D: (N, N) square distance matrix (missing < 0, diagonal 0), padded;
+    m: active count.  Returns (I, J, LI, LJ, d_last); records with
+    I == J == 0 mean "no joinable pair left" (missing-data early stop,
+    dnj.c:1009).
+    """
+    n = D.shape[0]
+    dtype = D.dtype
+    # the DBL_MAX analog in the state dtype (f32: FLT_MAX)
+    big = jnp.asarray(np.finfo(np.dtype(dtype)).max, dtype)
+    idx = jnp.arange(n)
+    tri = idx[None, :] < idx[:, None]  # partners j < i
+
+    def row_q(D, sD, N, i):
+        """Q over row i's smaller partners; +BIG where invalid."""
+        drow = D[i]
+        c = ((N[i] + N - 4) >> 1).astype(dtype)
+        q = c * drow - sD[i] - sD
+        ok = (idx < i) & (drow >= 0)
+        return jnp.where(ok, q, big)
+
+    def last_min(q):
+        """value + LAST index of the minimum (the `<=` scan rule)."""
+        mn = q.min()
+        return mn, jnp.where(q == mn, idx, -1).max().astype(jnp.int32)
+
+    # --- init: sD, N (initSummaD) and row caches (initHNJ)
+    active0 = idx < m
+    valid = active0[:, None] & active0[None, :] & (D >= 0) \
+        & (idx[:, None] != idx[None, :])
+    sD = jnp.where(valid, D, 0).sum(axis=1, dtype=dtype)
+    N = 1 + valid.sum(axis=1, dtype=jnp.int32)
+    coef = ((N[:, None] + N[None, :] - 4) >> 1).astype(dtype)
+    lvalid = valid & tri
+    Qm = jnp.where(lvalid, coef * D - sD[:, None] - sD[None, :], big)
+    Q = Qm.min(axis=1)
+    # initHNJ tie rule (hclust.c:110-116): among equal-Q candidates
+    # ascending, accept while the raw distance is a running minimum
+    rowmin = Q[:, None]
+    cand = lvalid & (Qm == rowmin)
+    dmask = jnp.where(cand, D, big)
+    prefmin = jax.lax.cummin(dmask, axis=1)
+    sel = cand & (dmask == prefmin)
+    P = jnp.where(sel, idx[None, :], -1).max(axis=1).astype(jnp.int32)
+    P = jnp.maximum(P, 0)
+    Q = jnp.where(active0, Q, big)
+
+    # initial seed: minQ over caches, `<=` last-wins (hclust.c:353-381)
+    qrows = jnp.where((idx >= 1) & active0, Q, big)
+    mn0 = qrows.min()
+    seed0 = jnp.where(
+        active0.sum() > 1,
+        jnp.where(qrows == mn0, idx, -1).max(), 0).astype(jnp.int32)
+
+    def one_join(t, carry):
+        D, sD, N, Q, P, seed, I, J, LI, LJ = carry
+        m_t = m - t
+
+        # ---- minQpair(seed) (dnj.c:43-128)
+        seed_ok = (seed != 0) & (Q[seed] != big)
+        minv0 = jnp.where(seed_ok, Q[seed], big)
+        pi0 = jnp.where(seed_ok, seed, 0)
+        pj0 = jnp.where(seed_ok, P[seed], 0)
+
+        def scond(c):
+            return c[0] >= 1
+
+        def sbody(c):
+            cur, minv, pi, pj, Q, P = c
+            candm = (idx >= 1) & (idx <= cur) & (idx < m_t) & (Q < minv)
+            i = jnp.where(candm, idx, -1).max().astype(jnp.int32)
+
+            def recompute(args):
+                i, minv, pi, pj, Q, P = args
+                q = row_q(D, sD, N, i)
+                newq, newp = last_min(q)
+                Q = Q.at[i].set(newq)
+                P = P.at[i].set(newp)
+                better = newq < minv
+                return (jnp.where(better, newq, minv),
+                        jnp.where(better, i, pi),
+                        jnp.where(better, newp, pj), Q, P)
+
+            minv, pi, pj, Q, P = jax.lax.cond(
+                i >= 1, recompute,
+                lambda a: (a[1], a[2], a[3], a[4], a[5]),
+                (i, minv, pi, pj, Q, P))
+            return i - 1, minv, pi, pj, Q, P
+
+        cur0 = m_t - 1
+        _, minv, pi, pj, Q, P = jax.lax.while_loop(
+            scond, sbody, (cur0, minv0, pi0, pj0, Q, P))
+        have_pair = (pi != 0) | (pj != 0)
+        i = pi
+        j = pj
+
+        def apply_join(args):
+            D, sD, N, Q, P = args
+            # ---- limbs (nj.c:42-79)
+            D_ij = D[i, j]
+            Ni = N[i] - 2
+            Nj = N[j] - 2
+            delta = jnp.where(
+                (Ni > 0) & (Nj > 0),
+                (sD[i] - D_ij) / jnp.maximum(Ni, 1)
+                - (sD[j] - D_ij) / jnp.maximum(Nj, 1), 0.0)
+            Li = jnp.where((Ni > 0) & (Nj > 0), (D_ij + delta) / 2,
+                           jnp.where(Ni > 0, 0.0,
+                                     jnp.where(Nj > 0, D_ij, D_ij / 2)))
+            Lj = jnp.where((Ni > 0) & (Nj > 0), (D_ij - delta) / 2,
+                           jnp.where(Ni > 0, D_ij,
+                                     jnp.where(Nj > 0, 0.0, D_ij / 2)))
+            if not neg_limbs:
+                Li_c = jnp.where(Li < 0, 0.0,
+                                 jnp.where(Lj < 0, D_ij, Li))
+                Lj_c = jnp.where(Li < 0, D_ij,
+                                 jnp.where(Lj < 0, 0.0, Lj))
+                Li, Lj = Li_c, Lj_c
+
+            # ---- updateD (nj.c:836-1044)
+            active = idx < m_t
+            D_ik = D[i]
+            D_kj = D[j]
+            valid_k = active & (idx != i) & (idx != j)
+            vi = D_ik >= 0
+            vj = D_kj >= 0
+            both = valid_k & vi & vj
+            only_i = valid_k & vi & ~vj
+            only_j = valid_k & ~vi & vj
+            d_both = jnp.maximum((D_ik + D_kj - D_ij) / 2, 0.0)
+            newD = jnp.where(both, d_both,
+                             jnp.where(only_i, D_ik - Li,
+                                       jnp.where(only_j, D_kj - Lj,
+                                                 D_kj)))
+            sD = jnp.where(both, sD - (D_ik + D_kj - d_both),
+                           jnp.where(only_i, sD - Li,
+                                     jnp.where(only_j, sD - Lj, sD)))
+            N = jnp.where(both | only_j, N - 1, N)
+            counted = both | only_i | only_j
+            sD = sD.at[j].set(jnp.where(counted, newD, 0)
+                              .sum(dtype=dtype))
+            N = N.at[j].set(1 + counted.sum(dtype=jnp.int32))
+            newD = jnp.where(valid_k, newD, -1.0)
+            D = D.at[j, :].set(jnp.where(valid_k, newD, D[j]))
+            D = D.at[:, j].set(jnp.where(valid_k, newD, D[:, j]))
+
+            # ---- updateDNJ cache repair + mi candidate (dnj.c:607-710)
+            qj = row_q(D, sD, N, j)
+            Qj, Pj = last_min(qj)
+            Q = Q.at[j].set(Qj)
+            P = P.at[j].set(jnp.where(Qj == big, 0, Pj))
+            coefj = ((N[j] + N - 4) >> 1).astype(dtype)
+            qcol = coefj * D[:, j] - sD[j] - sD
+            colk = valid_k & (idx > j) & (D[:, j] >= 0)
+            upd = colk & (qcol <= Q)
+            Q = jnp.where(upd, qcol, Q)
+            P = jnp.where(upd, j, P)
+            mq = jnp.where(upd, qcol, big).min()
+            anyupd = upd.any()
+            mi_cand = jnp.where(
+                anyupd & (mq <= Qj),
+                jnp.where(upd & (qcol == mq), idx, -1).max(), j
+            ).astype(jnp.int32)
+
+            # ---- DNJ_popArrange (dnj.c:817-975): move last into slot i
+            m_new = m_t - 1
+            last = m_new
+
+            def do_move(args):
+                D, sD, N, Q, P = args
+                moverow = D[last]
+                D = D.at[i, :].set(jnp.where(idx == i, 0.0, moverow))
+                D = D.at[:, i].set(jnp.where(idx == i, 0.0, moverow))
+                D = D.at[i, last].set(-1.0)
+                D = D.at[last, i].set(-1.0)
+                sD = sD.at[i].set(sD[last])
+                N = N.at[i].set(N[last])
+                # row pass: Q[i] over partners < i from moved values
+                qi = row_q(D, sD, N, i)
+                Qi, Pi = last_min(qi)
+                Q = Q.at[i].set(Qi)
+                P = P.at[i].set(jnp.where(Qi == big, 0, Pi))
+                # column pass: rows i < k < last see cell (k, i)
+                coefi = ((N[i] + N - 4) >> 1).astype(dtype)
+                qc = coefi * D[:, i] - sD[i] - sD
+                ck = (idx > i) & (idx < last) & (D[:, i] >= 0)
+                u2 = ck & (qc <= Q)
+                Q = jnp.where(u2, qc, Q)
+                P = jnp.where(u2, i, P)
+                mq2 = jnp.where(u2, qc, big).min()
+                p2 = jnp.where(
+                    u2.any() & (mq2 <= Qi),
+                    jnp.where(u2 & (qc == mq2), idx, -1).max(), i
+                ).astype(jnp.int32)
+                return D, sD, N, Q, P, p2
+
+            def no_move(args):
+                D, sD, N, Q, P = args
+                return D, sD, N, Q, P, jnp.int32(0)
+
+            D, sD, N, Q, P, mj_cand = jax.lax.cond(
+                i != last, do_move, no_move, (D, sD, N, Q, P))
+            Q = Q.at[last].set(big)
+
+            # ---- seed chaining (dnj.c:1026-1032)
+            seed_new = jnp.where(
+                mj_cand == m_new, mi_cand,
+                jnp.where(
+                    mi_cand == m_new, mj_cand,
+                    jnp.where((Q[mj_cand] < Q[mi_cand])
+                              | ((mi_cand < mj_cand)
+                                 & (Q[mj_cand] == Q[mi_cand])),
+                              mj_cand, mi_cand)))
+            return D, sD, N, Q, P, seed_new, Li, Lj
+
+        def skip_join(args):
+            D, sD, N, Q, P = args
+            return (D, sD, N, Q, P, jnp.int32(0),
+                    jnp.asarray(-1.0, dtype), jnp.asarray(-1.0, dtype))
+
+        D, sD, N, Q, P, seed, Li, Lj = jax.lax.cond(
+            have_pair, apply_join, skip_join, (D, sD, N, Q, P))
+
+        I = I.at[t].set(jnp.where(have_pair, i, 0))
+        J = J.at[t].set(jnp.where(have_pair, j, 0))
+        LI = LI.at[t].set(Li)
+        LJ = LJ.at[t].set(Lj)
+        return D, sD, N, Q, P, seed, I, J, LI, LJ
+
+    I = jnp.zeros(n, jnp.int32)
+    J = jnp.zeros(n, jnp.int32)
+    LI = jnp.zeros(n, dtype)
+    LJ = jnp.zeros(n, dtype)
+    D, sD, N, Q, P, _, I, J, LI, LJ = jax.lax.fori_loop(
+        0, jnp.maximum(m - 2, 0), one_join,
+        (D, sD, N, Q, P, seed0, I, J, LI, LJ))
+    d_last = D[1, 0]
+    return I, J, LI, LJ, d_last
+
+
+def build_tree_jax(flat64: np.ndarray, n: int, names: list[Name],
+                   flag: int = 0, precision: int = 9,
+                   dtype=jnp.float32) -> bytes:
+    """Device DNJ over a loaded ltd matrix; Newick bytes (no ';')."""
+    npad = _pad(n)
+    D = np.full((npad, npad), -1.0, np.float64)
+    iu = np.tril_indices(n, -1)
+    D[(iu[0], iu[1])] = flat64
+    D[(iu[1], iu[0])] = flat64
+    np.fill_diagonal(D[:n, :n], 0.0)
+    I, J, LI, LJ, d_last = dnj_joins(jnp.asarray(D, dtype),
+                                     jnp.int32(n),
+                                     neg_limbs=bool(flag & 2))
+    I = np.asarray(I)
+    J = np.asarray(J)
+    LI = np.asarray(LI, np.float64)
+    LJ = np.asarray(LJ, np.float64)
+    m = n
+    for t in range(max(n - 2, 0)):
+        i, j = int(I[t]), int(J[t])
+        if i == 0 and j == 0:
+            break  # no joinable pair left (missing data)
+        form_node(names[j], names[i], float(LJ[t]), float(LI[t]),
+                  precision)
+        m -= 1
+        names[i], names[m] = names[m], names[i]
+    last = form_last_bi_node if (flag & 1) else form_last_node
+    if m == 2:
+        last(names[0], names[1], float(np.asarray(d_last)), precision)
+    else:
+        while m > 1:
+            m -= 1
+            last(names[0], names[m], -1.0, precision)
+    byteshift_fix(names[0])
+    return names[0].data

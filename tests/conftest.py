@@ -7,13 +7,17 @@ from pathlib import Path
 import pytest
 
 # JAX tests run on a virtual 8-device CPU mesh (multi-chip shardings are
-# validated without TPU hardware); set before any jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    (os.environ.get("XLA_FLAGS", "") +
-     " --xla_force_host_platform_device_count=8").strip(),
-)
+# validated without TPU hardware).  The axon TPU plugin ignores the
+# JAX_PLATFORMS env var, so force the CPU backend through jax.config
+# (effective because jax is first imported here).
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8"
+                           ).strip()
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 REPO = Path(__file__).resolve().parent.parent
 REFERENCE = Path("/root/reference")
