@@ -27,7 +27,7 @@ class Args:
         """getArgDie (cmdline.c): the following argv entry."""
         self.i += 1
         if self.i >= len(self.argv):
-            raise ArgError(f'Missing argument to option:\t"{name}"')
+            raise ArgError(f'Missing argument at {name}.')
         return self.argv[self.i]
 
     def next_num(self, name: str) -> int:
@@ -35,14 +35,14 @@ class Args:
         try:
             return int(v)
         except ValueError:
-            raise ArgError(f'Invalid argument to option:\t"{name}"')
+            raise ArgError(f'Invalid value parsed at {name}.')
 
     def next_float(self, name: str) -> float:
         v = self.next_value(name)
         try:
             return float(v)
         except ValueError:
-            raise ArgError(f'Invalid argument to option:\t"{name}"')
+            raise ArgError(f'Invalid value parsed at {name}.')
 
     def next_char(self, name: str) -> str:
         v = self.next_value(name)

@@ -200,7 +200,7 @@ def main_dist(argv: list[str]) -> int:
                 sys.stdout.write(HELP)
                 return 0
             else:
-                raise ArgError(f'Unknown option:\t"--{name}"')
+                raise ArgError(f'Unknown argument or option: "{arg}"')
         elif arg.startswith("-") and arg != "-":
             for opt in arg[1:]:
                 if opt == "i":
@@ -261,17 +261,17 @@ def main_dist(argv: list[str]) -> int:
                     sys.stdout.write(HELP)
                     return 0
                 else:
-                    raise ArgError(f'Unknown option:\t"-{opt}"')
+                    raise ArgError(f'Unknown argument or option: "{opt}"')
         else:
             filenames.append(arg)
         a.i += 1
 
     if min_cov < 0 or 1 < min_cov:
-        raise ArgError('Invalid argument:\t"--min_cov"')
+        raise ArgError('Invalid value parsed at "--min_cov".')
     if bytescale == 0:
-        raise ArgError('Invalid argument:\t"--short_precision"')
+        raise ArgError('Invalid value parsed at "--short_precision".')
     if alpha < 0:
-        raise ArgError('Invalid argument:\t"--significance_lvl"')
+        raise ArgError('Invalid value parsed at "--significance_lvl".')
     if flag == -1:
         sys.stdout.write(FLAG_HELP)
         return 0
@@ -280,7 +280,7 @@ def main_dist(argv: list[str]) -> int:
         return 0
     veccmp = get_veccmp(method, alpha)
     if veccmp is None:
-        raise ArgError('Invalid argument:\t"-d"')
+        raise ArgError('Invalid value parsed at "-d".')
 
     incvariant = ("insigprune" if flag & 32 else
                   "insig" if flag & 8 else "default")

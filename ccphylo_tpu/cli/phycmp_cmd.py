@@ -80,7 +80,7 @@ def main_phycmp(argv: list[str]) -> int:
                 sys.stdout.write(HELP)
                 return 0
             else:
-                raise ArgError(f'Unknown option:\t"--{name}"')
+                raise ArgError(f'Unknown argument or option: "{arg}"')
         elif arg.startswith("-") and arg != "-":
             for opt in arg[1:]:
                 if opt == "i":
@@ -107,7 +107,7 @@ def main_phycmp(argv: list[str]) -> int:
                     sys.stdout.write(HELP)
                     return 0
                 else:
-                    raise ArgError(f'Unknown option:\t"-{opt}"')
+                    raise ArgError(f'Unknown argument or option: "{opt}"')
         else:
             inputfiles.append(arg)
         a.i += 1

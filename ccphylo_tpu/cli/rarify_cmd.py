@@ -46,7 +46,7 @@ def main_rarify(argv: list[str]) -> int:
                 sys.stdout.write(HELP)
                 return 0
             else:
-                raise ArgError(f'Unknown option:\t"--{name}"')
+                raise ArgError(f'Unknown argument or option: "{arg}"')
         elif arg.startswith("-") and arg != "-":
             for opt in arg[1:]:
                 if opt == "i":
@@ -61,7 +61,7 @@ def main_rarify(argv: list[str]) -> int:
                     sys.stdout.write(HELP)
                     return 0
                 else:
-                    raise ArgError(f'Unknown option:\t"-{opt}"')
+                    raise ArgError(f'Unknown argument or option: "{opt}"')
         else:
             inputfile = arg
         a.i += 1

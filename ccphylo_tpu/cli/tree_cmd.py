@@ -119,7 +119,7 @@ def main_tree(argv: list[str]) -> int:
                 sys.stdout.write(HELP)
                 return 0
             else:
-                raise ArgError(f'Unknown option:\t"--{name}"')
+                raise ArgError(f'Unknown argument or option: "{arg}"')
         elif arg.startswith("-") and arg != "-":
             for opt in arg[1:]:
                 if opt == "i":
@@ -158,7 +158,7 @@ def main_tree(argv: list[str]) -> int:
                     sys.stdout.write(HELP)
                     return 0
                 else:
-                    raise ArgError(f'Unknown option:\t"-{opt}"')
+                    raise ArgError(f'Unknown argument or option: "{opt}"')
         else:
             inputfile = arg
         a.i += 1
@@ -170,7 +170,7 @@ def main_tree(argv: list[str]) -> int:
         sys.stdout.write(METHOD_HELP)
         return 0
     if method not in METHODS:
-        raise ArgError('Invalid argument to option:\t"-m"')
+        raise ArgError('Invalid value parsed at "-m".')
 
     return form_tree(inputfile, outputfile, flag, sep, quotes, method,
                      precision, dtype, bytescale)

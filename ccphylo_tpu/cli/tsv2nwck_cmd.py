@@ -1,40 +1,45 @@
-"""`fullphy` subcommand: lower-triangular -> full square Phylip
-(reference fullphy.c)."""
+"""`tsv2nwck` subcommand: tsv rows -> Newick via nearest-neighbour
+clustering (reference tsv2nwck.c + datclust.c).
+
+Note: the reference compiles this subcommand but never dispatches it
+from main.c (an orphan); we expose it.
+"""
 
 from __future__ import annotations
 
 import sys
-import time
 
 from ..io import fileio
-from ..io.phylip import PhylipStream, print_full_phy
-from ..tree.exact import LtdMatrix
+from ..io.qseqs import Name
+from ..io.tsv import load_tsv
+from ..ops.distcmp import get_distcmp
+from ..tree.newick_build import form_node, form_last_node
 from .args import Args, ArgError
 
+DBL_MAX = 1.7976931348623157e+308
+
 HELP = """\
-#CCPhylo fullphy converts phylip distance matrices to full matrices.
+#CCPhylo tsv2nwck converts tsv files to newick files.
 #   Options are:            \tDesc:                           \tDefault:
 #    -i, --input           \tInput file                      \tstdin
 #    -o, --output          \tOutput file                     \tstdout
 #    -S, --separator       \tSeparator                       \t\\t
 #    -x, --print_precision \tFloating point print precision  \t9
-#    -f, --flag            \tOutput flags                    \t1
-#    -F, --flag_help       \tHelp on option "-f"             \t
+#    -d, --distance        \tDistance method                 \tcos
+#    -D, --distance_help   \tHelp on option "-d"             \t
 #    -p, --float_precision \tFloat precision on distance matrix\tFalse / double
 #    -s, --short_precision \tShort precision on distance matrix\tFalse / double / 1e0
 #    -b, --byte_precision  \tByte precision on distance matrix\tFalse / double / 1e0
-#    -H, --mmap            \tAllocate matrix on the disk     \tFalse
-#    -T, --tmp             \tSet directory for temporary files\t
 #    -h, --help            \tShows this helpmessage          \t
 """
 
 
-def main_fullphy(argv: list[str]) -> int:
+def main_tsv2nwck(argv: list[str]) -> int:
     inputfile = "-"
     outputfile = "-"
     sep = "\t"
     precision = 9
-    flag = 1
+    method = "cos"
     dtype = "d"
     bytescale = 1.0
 
@@ -55,10 +60,10 @@ def main_fullphy(argv: list[str]) -> int:
                 sep = a.next_char("separator")
             elif name == "print_precision":
                 precision = a.next_num("print_precision")
-            elif name == "flag":
-                flag = a.next_num("flag")
-            elif name == "flag_help":
-                flag = -1
+            elif name == "distance":
+                method = a.next_value("distance")
+            elif name == "distance_help":
+                method = None
             elif name == "float_precision":
                 dtype = "f"
             elif name == "short_precision":
@@ -86,10 +91,10 @@ def main_fullphy(argv: list[str]) -> int:
                     sep = a.next_char("S")
                 elif opt == "x":
                     precision = a.next_num("x")
-                elif opt == "f":
-                    flag = a.next_num("f")
-                elif opt == "F":
-                    flag = -1
+                elif opt == "d":
+                    method = a.next_value("d")
+                elif opt == "D":
+                    method = None
                 elif opt == "p":
                     dtype = "f"
                 elif opt == "s":
@@ -111,30 +116,81 @@ def main_fullphy(argv: list[str]) -> int:
             inputfile = arg
         a.i += 1
 
-    if flag == -1:
-        sys.stdout.write("# Format flags output, add them to combine "
-                         "them.\n#\n#   1:\tRelaxed Phylip\n#\n")
+    if method is None:
+        sys.stdout.write("# Distance calculation methods: see tsv2phy "
+                         "-D\n")
         return 0
+    fn = get_distcmp(method)
+    if fn is None:
+        raise ArgError('Invalid value parsed at "--distance".')
 
-    data = fileio.read_bytes(inputfile)
-    stream = PhylipStream(data, sep=sep.encode())
-    out = fileio.open_out(outputfile)
-    t0 = time.process_time()
-    while True:
-        loaded = stream.load()
-        if loaded is None or loaded[0] == 0:
+    dat = load_tsv(fileio.read_bytes(inputfile), sep.encode(), dtype,
+                   bytescale)
+    if dat is None:
+        print("Input matrix contained zero rows.", file=sys.stderr)
+        return 0
+    m = dat.m
+    # initQ_Dmat (datclust.c:30-96): Q[i] seeds unconditionally from
+    # row 0, then <= last-wins over valid j < i
+    Q = [DBL_MAX] * m
+    P = [-1] + [0] * (m - 1)
+    for i in range(1, m):
+        Q[i] = fn(dat.mat[i], dat.mat[0], dtype, bytescale)
+        for j in range(1, i):
+            d = fn(dat.mat[i], dat.mat[j], dtype, bytescale)
+            if 0 <= d <= Q[i]:
+                Q[i] = d
+                P[i] = j
+
+    names = [Name(b"%d" % i, 10) for i in range(m)]
+
+    # tclust (datclust.c:136-178)
+    j = 0
+    n = m
+    while n != 1:
+        # minQ over rows 1..m-1, <= last-wins (hclust.c:353-381)
+        mi = 0
+        mn = DBL_MAX
+        for k in range(1, m):
+            if Q[k] <= mn:
+                mn = Q[k]
+                mi = k
+        if mi == 0 and (P[mi] if mi else 0) == 0:
             break
-        n, flat, names, header = loaded
-        t1 = time.process_time()
-        print(f"# Total time used loading matrix: {t1 - t0:.2f} s.",
-              file=sys.stderr)
-        t0 = t1
-        lt = LtdMatrix(flat, n, dtype, bytescale)
-        print_full_phy(out, n, lt.get(slice(0, len(lt.flat))),
-                       [nm.data for nm in names[:n]], flag, precision)
-        t1 = time.process_time()
-        print(f"# Total time outputting full matrix: {t1 - t0:.2f} s.",
-              file=sys.stderr)
-        t0 = t1
+        i = mi
+        j = P[i]
+        if j < 0:
+            break  # remaining rows exhausted (joined rows)
+        limb = Q[i] / 2
+        form_node(names[j], names[i], limb, limb, precision)
+        # updateQP (datclust.c:99-111)
+        Q[i] = DBL_MAX
+        P[i] = -1
+        for k in range(i + 1, m):
+            if P[k] == i:
+                P[k] = j
+        n -= 1
+    if n != 1:
+        # pairU leftovers (datclust.c:113-133, 156-168)
+        while n != 1:
+            first = -1
+            second = -1
+            for k in range(1, m):
+                if P[k] != -1:
+                    if first < 0:
+                        first = k
+                    else:
+                        second = k
+                        break
+            if second < 0:
+                break
+            i, j = first, second
+            form_last_node(names[j], names[i], -1.0, precision)
+            P[i] = -1
+            n -= 1
+    names[0], names[j] = names[j], names[0]
+
+    out = fileio.open_out(outputfile)
+    out.write(names[0].data + b";\n")
     fileio.close_out(out)
     return 0

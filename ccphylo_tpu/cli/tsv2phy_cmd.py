@@ -93,7 +93,7 @@ def main_tsv2phy(argv: list[str]) -> int:
                 sys.stdout.write(HELP)
                 return 0
             else:
-                raise ArgError(f'Unknown option:\t"--{name}"')
+                raise ArgError(f'Unknown argument or option: "{arg}"')
         elif arg.startswith("-") and arg != "-":
             for opt in arg[1:]:
                 if opt == "i":
@@ -128,7 +128,7 @@ def main_tsv2phy(argv: list[str]) -> int:
                     sys.stdout.write(HELP)
                     return 0
                 else:
-                    raise ArgError(f'Unknown option:\t"-{opt}"')
+                    raise ArgError(f'Unknown argument or option: "{opt}"')
         else:
             inputfile = arg
         a.i += 1
@@ -142,7 +142,7 @@ def main_tsv2phy(argv: list[str]) -> int:
         return 0
     fn = get_distcmp(method)
     if fn is None:
-        raise ArgError('Invalid argument:\t"-d"')
+        raise ArgError('Invalid value parsed at "--distance".')
 
     dat = load_tsv(fileio.read_bytes(inputfile), sep.encode(), dtype,
                    bytescale)

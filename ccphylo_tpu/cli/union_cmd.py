@@ -84,7 +84,7 @@ def main_union(argv: list[str]) -> int:
                 sys.stdout.write(HELP)
                 return 0
             else:
-                raise ArgError(f'Unknown option:\t"--{name}"')
+                raise ArgError(f'Unknown argument or option: "{arg}"')
         elif arg.startswith("-") and arg != "-":
             for opt in arg[1:]:
                 if opt == "i":
@@ -107,7 +107,7 @@ def main_union(argv: list[str]) -> int:
                     sys.stdout.write(HELP)
                     return 0
                 else:
-                    raise ArgError(f'Unknown option:\t"-{opt}"')
+                    raise ArgError(f'Unknown argument or option: "{opt}"')
         else:
             filenames.append(arg)
         a.i += 1
@@ -122,7 +122,14 @@ def main_union(argv: list[str]) -> int:
         sys.exit(1)
 
     entries = union_res(filenames, min_cov, min_depth, min_length)
-    out = fileio.open_out(outputfile)
+    if dbfilename:
+        # unionResOrderPrint tests for "--" as its stdout sentinel
+        # (union.c:111), so the default "-" becomes a literal file
+        # named "-" in the cwd
+        out = (sys.stdout.buffer if outputfile == "--"
+               else open(outputfile, "wb"))
+    else:
+        out = fileio.open_out(outputfile)
 
     if dbfilename:
         # DB-ordered output (unionResOrderPrint, union.c:100-188)
@@ -143,7 +150,8 @@ def main_union(argv: list[str]) -> int:
             if entries.n == 0:
                 break
             ulist = entries.pop(name)
-            if ulist:
+            # only templates shared by >1 sample print (union.c:148)
+            if ulist and len(ulist) > 1:
                 if reffile is not None:
                     ref_indices.append(tnum)
                     # count = samples + the reference entry (union.c:154)

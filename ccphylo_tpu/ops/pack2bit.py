@@ -170,11 +170,18 @@ def get_inc_pos(inc: np.ndarray, seq: np.ndarray, ref: np.ndarray,
     else:  # insig
         masked = c4 | r4
         prox_events = ~masked & neq
-    # clear the insignificance marker like the reference (fsacmp.c:204-205)
-    if c16.any():
-        seq &= 15
-    if r16.any():
-        ref &= 15
+    # clear the insignificance marker exactly where the reference does
+    # (fsacmp.c:202-206: only when neither side is unknown; the insig
+    # variant never clears, fsacmp.c:296-353)
+    if variant == "default":
+        clear = event & (c16 | r16) & ~(c4 | r4)
+    elif variant == "insigprune":
+        clear = (c16 | r16) & ~(c4 | r4)
+    else:
+        clear = None
+    if clear is not None and clear.any():
+        seq[clear] &= 15
+        ref[clear] &= 15
     if proxi:
         masked = masked | _span_mask(np.flatnonzero(prox_events), proxi,
                                      length)

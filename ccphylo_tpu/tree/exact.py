@@ -360,7 +360,11 @@ def update_d(st: TreeState, i: int, j: int, Li: float, Lj: float) -> None:
     D_ij = float(D.get(off(i) + j))
     sd_parts = []
 
-    # --- row part: k < j (nj.c:893-948)
+    # --- row part: k < j (nj.c:893-948).  The sD/N walker pointers do
+    # NOT advance past both-missing cells (no else branch in the C), so
+    # the update targets shift down: the t-th advancing cell writes slot
+    # t-1, not slot k.  Reproduced via the walker-position mapping.
+    base = 0
     if j > 0:
         row_i = D.row(i, j)
         oj = off(j)
@@ -370,26 +374,29 @@ def update_d(st: TreeState, i: int, j: int, Li: float, Lj: float) -> None:
         both = vi & vj
         only_i = vi & ~vj
         only_j = ~vi & vj
+        adv = both | only_i | only_j
+        wpos = np.cumsum(adv) - 1  # walker slot per advancing cell
         new = row_j.copy()
         if both.any():
             d2 = (row_i + row_j - D_ij) / 2
             d2 = np.where(d2 < 0, 0.0, d2)
             new[both] = d2[both]
             D.store(np.flatnonzero(both) + oj, d2[both], 0.25)
-            sD[:j][both] -= (row_i + row_j - d2)[both]
-            N[:j][both] -= 1
+            sD[wpos[both]] -= (row_i + row_j - d2)[both]
+            N[wpos[both]] -= 1
         if only_i.any():
             d1 = row_i - Li
             new[only_i] = d1[only_i]
             D.store(np.flatnonzero(only_i) + oj, d1[only_i], 0.0)
-            sD[:j][only_i] -= Li
+            sD[wpos[only_i]] -= Li
         if only_j.any():
             post = D.isub(np.flatnonzero(only_j) + oj, Lj)
             new[only_j] = post
-            sD[:j][only_j] += post - row_j[only_j]
-            N[:j][only_j] -= 1
-        contrib = np.where(both | only_i | only_j, new, np.nan)
+            sD[wpos[only_j]] += post - row_j[only_j]
+            N[wpos[only_j]] -= 1
+        contrib = np.where(adv, new, np.nan)
         sd_parts.append(contrib[~np.isnan(contrib)])
+        base = int(adv.sum())
 
     # --- column part: k in (j, n) \ {i} (nj.c:950-1039)
     ks = _column_ks(st, i, j)
@@ -405,20 +412,25 @@ def update_d(st: TreeState, i: int, j: int, Li: float, Lj: float) -> None:
             # an out-of-row cell that may alias cells updated earlier in
             # this very loop; replicate sequentially.
             _update_d_column_scalar(st, i, j, ks, D_ij, Li, Lj,
-                                    sd_parts)
+                                    sd_parts, base)
         else:
             both = vi & vj
             only_i = vi & ~vj
+            adv = both | only_i
+            # column walker: resumes at `base` (after the skip-j
+            # advance), +1 extra when crossing the removed row i
+            tgt = base + 1 + (ks > i).astype(np.int64) \
+                + np.concatenate([[0], np.cumsum(adv)[:-1]])
             if both.any():
                 d2 = (D_kj + D_ik - D_ij) / 2
                 d2 = np.where(d2 < 0, 0.0, d2)
                 D.store(cidx[both], d2[both], 0.25)
-                sD[ks[both]] -= (D_ik + D_kj - d2)[both]
-                N[ks[both]] -= 1
+                sD[tgt[both]] -= (D_ik + D_kj - d2)[both]
+                N[tgt[both]] -= 1
             if only_i.any():
                 d1 = D_ik - Li
                 D.store(cidx[only_i], d1[only_i], 0.0)
-                sD[ks[only_i]] -= Li
+                sD[tgt[only_i]] -= Li
             newv = np.where(both, np.where((D_kj + D_ik - D_ij) / 2 < 0,
                                            0.0, (D_kj + D_ik - D_ij) / 2),
                             np.where(only_i, D_ik - Li, np.nan))
@@ -429,13 +441,19 @@ def update_d(st: TreeState, i: int, j: int, Li: float, Lj: float) -> None:
     sD[j] = seq_sum(np.concatenate(sd_parts)) if sd_parts else 0.0
 
 
-def _update_d_column_scalar(st, i, j, ks, D_ij, Li, Lj, sd_parts):
+def _update_d_column_scalar(st, i, j, ks, D_ij, Li, Lj, sd_parts, base):
     """Sequential replica of updateD's column loop for the missing-data
-    path, including the out-of-row D->mat[j][k] read (nj.c:1020-1037)."""
+    path, including the out-of-row D->mat[j][k] read (nj.c:1020-1037)
+    and the non-advancing walker for both-missing cells."""
     D, sD, N = st.D, st.sD, st.N
     contribs = []
+    pos = base  # walker slot after the skip-j advance
+    crossed = False
     for k in ks:
         k = int(k)
+        if k > i and not crossed:
+            pos += 1  # skip-i advance (nj.c:964-969)
+            crossed = True
         cidx = off(k) + j
         D_kj = float(D.get(cidx))
         D_ik = float(D.get(off(k) + i if k > i else off(i) + k))
@@ -444,20 +462,23 @@ def _update_d_column_scalar(st, i, j, ks, D_ij, Li, Lj, sd_parts):
             if dist < 0:
                 dist = 0.0
             D.store(cidx, dist, 0.25)
-            sD[k] -= (D_ik + D_kj - dist)
-            N[k] -= 1
+            pos += 1
+            sD[pos] -= (D_ik + D_kj - dist)
+            N[pos] -= 1
             contribs.append(dist)
         elif D_ik >= 0:
             dist = D_ik - Li
             D.store(cidx, dist, 0.0)
-            sD[k] -= Li
+            pos += 1
+            sD[pos] -= Li
             contribs.append(dist)
         elif D_kj >= 0:
             post = float(D.isub(cidx, Lj))
             garbage = float(D.get(off(j) + k))
             dist = post - garbage
-            sD[k] += dist
-            N[k] -= 1
+            pos += 1
+            sD[pos] += dist
+            N[pos] -= 1
             contribs.append(dist)
     sd_parts.append(np.asarray(contribs, np.float64))
 
@@ -467,6 +488,7 @@ def update_d_cf(st: TreeState, i: int, j: int, Li: float, Lj: float) -> None:
     two distances); used by the 'frank' method."""
     D, sD, N = st.D, st.sD, st.N
     sd_parts = []
+    base = 0
 
     if j > 0:
         row_i = D.row(i, j)
@@ -477,19 +499,22 @@ def update_d_cf(st: TreeState, i: int, j: int, Li: float, Lj: float) -> None:
         both = vi & vj
         only_i = vi & ~vj
         only_j = ~vi & vj
+        adv = both | only_i | only_j
+        wpos = np.cumsum(adv) - 1
         if both.any():
             d2 = np.minimum(row_i, row_j)
             D.store(np.flatnonzero(both) + oj, d2[both], 0.0)
-            sD[:j][both] -= (row_i + row_j - d2)[both]
-            N[:j][both] -= 1
+            sD[wpos[both]] -= (row_i + row_j - d2)[both]
+            N[wpos[both]] -= 1
         if only_i.any():
             D.store(np.flatnonzero(only_i) + oj, row_i[only_i], 0.0)
         if only_j.any():
-            N[:j][only_j] -= 1
+            N[wpos[only_j]] -= 1
         contrib = np.where(both, np.minimum(row_i, row_j),
                            np.where(only_i, row_i,
                                     np.where(only_j, row_j, np.nan)))
         sd_parts.append(contrib[~np.isnan(contrib)])
+        base = int(adv.sum())
 
     ks = _column_ks(st, i, j)
     if len(ks):
@@ -501,16 +526,19 @@ def update_d_cf(st: TreeState, i: int, j: int, Li: float, Lj: float) -> None:
         both = vi & vj
         only_i = vi & ~vj
         only_j = ~vi & vj
+        adv = both | only_i | only_j
+        tgt = base + 1 + (ks > i).astype(np.int64) \
+            + np.concatenate([[0], np.cumsum(adv)[:-1]])
         if both.any():
             d2 = np.minimum(D_ik, D_kj)
             d2 = np.where(d2 < 0, 0.0, d2)
             D.store(cidx[both], d2[both], 0.0)
-            sD[ks[both]] -= (D_ik + D_kj - d2)[both]
-            N[ks[both]] -= 1
+            sD[tgt[both]] -= (D_ik + D_kj - d2)[both]
+            N[tgt[both]] -= 1
         if only_i.any():
             D.store(cidx[only_i], D_ik[only_i], 0.0)
         if only_j.any():
-            N[ks[only_j]] -= 1
+            N[tgt[only_j]] -= 1
         contrib = np.where(both, np.where(np.minimum(D_ik, D_kj) < 0, 0.0,
                                           np.minimum(D_ik, D_kj)),
                            np.where(only_i, D_ik,
@@ -635,6 +663,7 @@ def _upgma_family_update(st: TreeState, i: int, j: int, combine: str):
 
     sd_parts = []
     row_dists = np.empty(0, np.float64)
+    base = 0
     if j > 0:
         row_i = D.row(i, j)
         oj = off(j)
@@ -644,21 +673,26 @@ def _upgma_family_update(st: TreeState, i: int, j: int, combine: str):
         both = vi & vj
         only_i = vi & ~vj
         only_j = ~vi & vj
+        # walker targets: pointers don't advance on both-missing cells
+        # (hclust.c:719-770 has no else branch for them)
+        adv = both | only_i | only_j
+        wpos = np.cumsum(adv) - 1
         dist = np.full(j, -1.0)
         if both.any():
             d2 = comb(row_i, row_j)
             dist[both] = d2[both]
             D.store(np.flatnonzero(both) + oj, d2[both], 0.0)
-            sD[:j][both] -= (row_i + row_j - d2)[both]
-            N[:j][both] -= 1
+            sD[wpos[both]] -= (row_i + row_j - d2)[both]
+            N[wpos[both]] -= 1
         if only_i.any():
             dist[only_i] = row_i[only_i]
             D.store(np.flatnonzero(only_i) + oj, row_i[only_i], 0.0)
         if only_j.any():
             dist[only_j] = row_j[only_j]
-            N[:j][only_j] -= 1
+            N[wpos[only_j]] -= 1
         row_dists = dist
         sd_parts.append(dist[dist >= 0])
+        base = int(adv.sum())
 
     ks = _column_ks(st, i, j)
     col_dists = np.empty(0, np.float64)
@@ -671,19 +705,22 @@ def _upgma_family_update(st: TreeState, i: int, j: int, combine: str):
         both = vi & vj
         only_i = vi & ~vj
         only_j = ~vi & vj
+        adv = both | only_i | only_j
+        tgt = base + 1 + (ks > i).astype(np.int64) \
+            + np.concatenate([[0], np.cumsum(adv)[:-1]])
         dist = np.full(len(ks), -1.0)
         if both.any():
             d2 = comb(D_ik, D_kj)
             dist[both] = d2[both]
             D.store(cidx[both], d2[both], 0.0)
-            sD[ks[both]] -= (D_ik + D_kj - d2)[both]
-            N[ks[both]] -= 1
+            sD[tgt[both]] -= (D_ik + D_kj - d2)[both]
+            N[tgt[both]] -= 1
         if only_i.any():
             dist[only_i] = D_ik[only_i]
             D.store(cidx[only_i], D_ik[only_i], 0.0)
         if only_j.any():
             dist[only_j] = D_kj[only_j]
-            N[ks[only_j]] -= 1
+            N[tgt[only_j]] -= 1
         col_dists = dist
         sd_parts.append(dist[dist >= 0])
 
