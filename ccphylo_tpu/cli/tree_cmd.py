@@ -8,6 +8,7 @@ matrix carried a '#'-comment, timings on stderr.
 from __future__ import annotations
 
 import sys
+import tempfile
 import time
 
 from ..io import fileio
@@ -74,6 +75,8 @@ def main_tree(argv: list[str]) -> int:
     # threads accepted for CLI parity; the exact engine is deterministic
     # and thread-count independent (as is the reference's output)
 
+    use_mmap = False
+    tmpdir = None
     a = Args(argv)
     while a.i < len(a.argv):
         arg = a.argv[a.i]
@@ -111,10 +114,12 @@ def main_tree(argv: list[str]) -> int:
             elif name == "byte_precision":
                 dtype = "b"
                 bytescale = a.opt_float(bytescale)
-            elif name in ("free", "mmap"):
-                pass  # memory-management hints; no-ops here
+            elif name == "free":
+                pass  # shrink-as-you-go: no effect on output
+            elif name == "mmap":
+                use_mmap = True
             elif name == "tmp":
-                a.next_value("tmp")
+                tmpdir = a.next_value("tmp")
             elif name == "help":
                 sys.stdout.write(HELP)
                 return 0
@@ -150,10 +155,12 @@ def main_tree(argv: list[str]) -> int:
                 elif opt == "b":
                     dtype = "b"
                     bytescale = a.opt_float(bytescale)
-                elif opt in ("g", "H"):
+                elif opt == "g":
                     pass
+                elif opt == "H":
+                    use_mmap = True
                 elif opt == "T":
-                    a.next_value("T")
+                    tmpdir = a.next_value("T")
                 elif opt == "h":
                     sys.stdout.write(HELP)
                     return 0
@@ -171,6 +178,12 @@ def main_tree(argv: list[str]) -> int:
         return 0
     if method not in METHODS:
         raise ArgError('Invalid value parsed at "-m".')
+
+    if use_mmap:
+        # -H: disk-backed matrix cells (ltdMatrixMinit, matrix.c:116);
+        # -T sets the backing directory (tmpF, tmp.c:27)
+        from ..tree.exact import LtdMatrix
+        LtdMatrix.mmap_dir = tmpdir or tempfile.gettempdir()
 
     return form_tree(inputfile, outputfile, flag, sep, quotes, method,
                      precision, dtype, bytescale)

@@ -34,6 +34,9 @@ no-op instead.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 import numpy as np
 
 from ..io.qseqs import Name
@@ -63,6 +66,11 @@ class LtdMatrix:
 
     NPD = {"d": np.float64, "f": np.float32, "s": np.uint16, "b": np.uint8}
 
+    # set by the CLI -H/--mmap (+ -T tmp dir): out-of-core cell storage
+    # over an unlinked temp file, the reference's ltdMatrixMinit/tmpF
+    # design (matrix.c:116-231, tmp.c:27)
+    mmap_dir: str | None = None
+
     def __init__(self, flat64: np.ndarray, n: int, dtype: str = "d",
                  bytescale: float = 128.0, load_round: float = 0.5):
         self.n = n
@@ -70,10 +78,21 @@ class LtdMatrix:
         self.bs = float(bytescale)
         if dtype in ("s", "b"):
             # loadPhy quantizes with round 0.5 (phy.c:473-475)
-            self.flat = (np.asarray(flat64, np.float64) * self.bs
-                         + load_round).astype(self.NPD[dtype])
+            flat = (np.asarray(flat64, np.float64) * self.bs
+                    + load_round).astype(self.NPD[dtype])
         else:
-            self.flat = np.asarray(flat64, np.float64).astype(self.NPD[dtype])
+            flat = np.asarray(flat64, np.float64).astype(self.NPD[dtype])
+        if self.mmap_dir is not None and flat.nbytes:
+            fd, path = tempfile.mkstemp(dir=self.mmap_dir,
+                                        prefix="ccphylo_ltd_")
+            os.unlink(path)  # unlinked backing store survives as mmap
+            with os.fdopen(fd, "r+b") as fh:
+                fh.truncate(flat.nbytes)
+                mm = np.memmap(fh, dtype=flat.dtype, mode="r+",
+                               shape=flat.shape)
+            mm[:] = flat
+            flat = mm
+        self.flat = flat
 
     @property
     def quantized(self) -> bool:

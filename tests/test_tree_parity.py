@@ -113,3 +113,19 @@ def test_stdin_input(oracle, test_phy):
     data = test_phy.read_bytes()
     assert run_ours(["tree"], stdin=data) == run_oracle(
         oracle, ["tree"], stdin=data)
+
+
+def test_mmap_matrix(oracle, tmp_path):
+    """-H backs the matrix with an unlinked temp file; output is
+    unchanged (ltdMatrixMinit, matrix.c:116)."""
+    rng = __import__("numpy").random.RandomState(4)
+    n = 12
+    rows = []
+    for i in range(n):
+        rows.append(b"s%03d" % i
+                    + b"".join(b"\t%.6f" % v for v in rng.rand(i)))
+    p = tmp_path / "m.phy"
+    p.write_bytes(b"%10d\n" % n + b"\n".join(rows) + b"\n")
+    for m in ["dnj", "upgma"]:
+        args = ["tree", "-m", m, "-H", "-T", str(tmp_path), "-i", str(p)]
+        assert run_ours(args) == run_oracle(oracle, args)
