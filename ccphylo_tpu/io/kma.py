@@ -10,9 +10,12 @@ resparse.c:50-219 (.res rows), unionparse.c:46-229 (.union entries).
 
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
 
 from . import fileio
+from .. import native
 from ..ops.pack2bit import translate
 
 
@@ -49,8 +52,35 @@ class MatTemplate:
                            self.totals[keep])
 
 
+def _parse_rows_native(block: bytes):
+    """Native (C++) row parser; None -> fall back to the Python loop."""
+    nat = native.get_lib()
+    if nat is None or not block:
+        return None
+    dptr = ctypes.cast(ctypes.c_char_p(block),
+                       ctypes.POINTER(ctypes.c_uint8))
+    nrow = nat.mat_count_rows(dptr, len(block), 0)
+    if nrow <= 0:
+        return None
+    refs = np.empty(nrow, np.uint8)
+    counts = np.empty((nrow, 6), np.uint16)
+    totals = np.empty(nrow, np.int64)
+    pos = ctypes.c_int64(0)
+    got = nat.mat_rows(
+        dptr, len(block), ctypes.byref(pos),
+        refs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        totals.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), nrow)
+    if got != nrow:
+        return None
+    return refs, counts, totals
+
+
 def _parse_rows(block: bytes):
     """Parse the data rows of one template section."""
+    res = _parse_rows_native(block)
+    if res is not None:
+        return res
     refs = []
     rows = []
     for line in block.split(b"\n"):

@@ -17,12 +17,21 @@ Values print as "\t%d" when d == (int)d else "\t%.{precision}f"
 
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
 
 from .qseqs import Name
+from .. import native
 
 # C isspace set
 _WHITESPACE = b" \t\n\r\x0b\x0c"
+
+
+def _bytes_ptr(data: bytes):
+    """Zero-copy uint8* view of a bytes object (immutable, contiguous)."""
+    return ctypes.cast(ctypes.c_char_p(data),
+                       ctypes.POINTER(ctypes.c_uint8))
 
 
 class PhylipParseError(Exception):
@@ -107,6 +116,16 @@ class PhylipStream:
 
         ncells = n * (n - 1) // 2
         flat = np.empty(ncells, dtype=np.float64)
+
+        # --- native fast path (identical bytes; any parse trouble falls
+        # back to the Python loop below, which raises the reference's
+        # exact error messages)
+        nat = native.get_lib()
+        if nat is not None:
+            res = self._load_native(nat, n, flat)
+            if res is not None:
+                return n, flat, self.names, header
+
         cell = 0
         for i in range(n):
             # --- name: chars until sep or newline (inclusive), then chomp
@@ -166,6 +185,32 @@ class PhylipStream:
 
         return n, flat, self.names, header
 
+    def _load_native(self, nat, n: int, flat: np.ndarray):
+        """Parse the n-row body with the C++ kernel (phy_body); returns
+        True on success (self.pos advanced, names updated), None to fall
+        back to the Python loop."""
+        data = self.data
+        pos = ctypes.c_int64(self.pos)
+        name_offs = np.empty(2 * n, np.int64)
+        raw_lens = np.empty(n, np.int64)
+        status = nat.phy_body(
+            _bytes_ptr(data), len(data), ctypes.byref(pos), n,
+            self.sep[0],
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            name_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            raw_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if status != 0:
+            return None
+        self.pos = pos.value
+        quotes = self.quotes
+        extra = 1 if quotes else 0
+        for i in range(n):
+            name = self.names[i]
+            name.grow_for(int(raw_lens[i]) + extra)
+            stripped = data[name_offs[2 * i]:name_offs[2 * i + 1]]
+            name.data = (quotes + stripped + quotes) if quotes else stripped
+        return True
+
 
 def load_phy(data: bytes, sep: bytes = b"\t", quotes: bytes = b"\x00"):
     """Load the first/only matrix from a Phylip byte stream."""
@@ -195,6 +240,24 @@ def _fmt_value(d: float, precision: int) -> bytes:
     if d == int(d) and abs(d) < 2**63:
         return b"\t%d" % int(d)
     return ("\t%.*f" % (precision, d)).encode()
+
+
+def _fmt_cells(vals: np.ndarray, precision: int) -> bytes:
+    """Format a run of cells ("\\t%d" / "\\t%.*f" per phy.c:113-119),
+    via the native kernel when available."""
+    count = len(vals)
+    nat = native.get_lib()
+    if nat is not None and count:
+        vals64 = np.ascontiguousarray(vals, np.float64)
+        cap = count * (precision + 360) + 64
+        out = ctypes.create_string_buffer(cap)
+        w = nat.fmt_cells(
+            vals64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            count, precision,
+            ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8)), cap)
+        if w >= 0:
+            return out.raw[:w]
+    return b"".join(_fmt_value(float(d), precision) for d in vals)
 
 
 def _fmt_name(name: bytes, fmt: int, strip=strip_dir) -> bytes:
@@ -228,9 +291,8 @@ def print_phy(out, n: int, flat, names, fmt: int = 1, precision: int = 9,
     while printed != n:
         if include is None or include[i]:
             out.write(_fmt_name(bytes(names[i]), fmt, strip))
-            for _ in range(printed):
-                out.write(_fmt_value(float(flat[cell]), precision))
-                cell += 1
+            out.write(_fmt_cells(flat[cell:cell + printed], precision))
+            cell += printed
             out.write(b"\n")
             printed += 1
         i += 1
@@ -242,18 +304,14 @@ def print_full_phy(out, n: int, flat, names, fmt: int = 1, precision: int = 9,
     out.write(b"%10d\n" % n)
     flat = np.asarray(flat, dtype=np.float64)
 
-    def cell(i, j):
-        if j < i:
-            return float(flat[i * (i - 1) // 2 + j])
-        return float(flat[j * (j - 1) // 2 + i])
-
     for i in range(n):
         out.write(_fmt_name(bytes(names[i]), fmt, strip))
-        for j in range(i):
-            out.write(_fmt_value(cell(i, j), precision))
+        base = i * (i - 1) // 2
+        out.write(_fmt_cells(flat[base:base + i], precision))
         out.write(b"\t0")
-        for j in range(i + 1, n):
-            out.write(_fmt_value(cell(i, j), precision))
+        if i + 1 < n:
+            js = np.arange(i + 1, n, dtype=np.int64)
+            out.write(_fmt_cells(flat[js * (js - 1) // 2 + i], precision))
         out.write(b"\n")
 
 
@@ -273,11 +331,9 @@ def print_phy_update(path: str, n: int, name: bytes, row, fmt: int = 1,
         fh.seek(offset)
         fh.write(b"%10d" % n)
         fh.seek(0, 2)
-        out = [_fmt_name(bytes(name), fmt, strip)]
-        for d in row:
-            out.append(_fmt_value(float(d), precision))
-        out.append(b"\n")
-        fh.write(b"".join(out))
+        fh.write(_fmt_name(bytes(name), fmt, strip)
+                 + _fmt_cells(np.asarray(row, np.float64), precision)
+                 + b"\n")
 
 
 def get_size_phy(data: bytes, pos: int = 0):
