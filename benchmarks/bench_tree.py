@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Tree-construction throughput: device DNJ engine vs the reference C.
+
+- TPU side: random symmetric distance matrix generated ON DEVICE (the
+  tunnel is low-bandwidth), full DNJ join loop as one device program
+  (`ccphylo_tpu.tree.jax_engine.dnj_joins`), timed post-compile.
+- C side (optional, --with-c): same-sized random matrix written as
+  Phylip, `ccphylo tree -m dnj` wall time (includes its load, as ours
+  includes the transfer of join records).
+
+Usage: python benchmarks/bench_tree.py [-n 4096] [--with-c /path/ccphylo]
+"""
+
+import argparse
+import io
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def device_dnj(n: int, reps: int = 2) -> float:
+    import jax
+    import jax.numpy as jnp
+    from ccphylo_tpu.tree.jax_engine import dnj_joins, _pad
+
+    npad = _pad(n)
+
+    @jax.jit
+    def make_D(key):
+        u = jax.random.uniform(key, (npad, npad), jnp.float32, 0.01, 1.0)
+        D = (u + u.T) / 2
+        D = jnp.where(jnp.arange(npad)[:, None] == jnp.arange(npad), 0.0, D)
+        active = jnp.arange(npad) < n
+        return jnp.where(active[:, None] & active[None, :], D, -1.0)
+
+    def run(seed):
+        D = make_D(jax.random.PRNGKey(seed))
+        I, J, LI, LJ, dl = dnj_joins(D, jnp.int32(n))
+        return int(I.sum())  # scalar fetch forces completion
+
+    run(0)  # compile
+    best = float("inf")
+    for r in range(reps):
+        t0 = time.perf_counter()
+        run(r + 1)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def c_dnj(n: int, binary: str) -> float:
+    from ccphylo_tpu.io.phylip import print_phy
+    from ccphylo_tpu.io.qseqs import Name
+
+    rng = np.random.RandomState(0)
+    M = rng.uniform(0.01, 1.0, (n, n))
+    M = (M + M.T) / 2
+    flat = M[np.tril_indices(n, -1)]
+    names = [Name(b"s%06d" % i, 32) for i in range(n)]
+    buf = io.BytesIO()
+    print_phy(buf, n, flat, names)
+    path = "/tmp/bench_tree_%d.phy" % n
+    with open(path, "wb") as fh:
+        fh.write(buf.getvalue())
+    threads = min(64, os.cpu_count() or 1)
+    t0 = time.perf_counter()
+    subprocess.run([binary, "tree", "-m", "dnj", "-t", str(threads),
+                    "-i", path, "-o", "/dev/null"],
+                   check=True, capture_output=True)
+    return time.perf_counter() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-n", type=int, default=4096)
+    ap.add_argument("--with-c", default=None,
+                    help="path to the reference ccphylo binary")
+    args = ap.parse_args()
+    n = args.n
+
+    t_dev = device_dnj(n)
+    joins = n - 2
+    print(f"device dnj: n={n}  {t_dev:.3f}s  {joins / t_dev:,.0f} joins/s")
+    if args.with_c:
+        t_c = c_dnj(n, args.with_c)
+        print(f"C dnj:      n={n}  {t_c:.3f}s  {joins / t_c:,.0f} joins/s  "
+              f"(device is {t_c / t_dev:.2f}x)")
+
+
+if __name__ == "__main__":
+    main()

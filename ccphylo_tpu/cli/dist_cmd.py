@@ -109,6 +109,23 @@ class QuantCells:
                 q = npdt(np.int64(stored)) if np.isfinite(stored) else npdt(0)
             self.vals.append(float(q) / self.bs)
 
+    def add_many(self, vals, rnd: float = 0.5):
+        """Vectorized add() — same per-cell dtype conversions."""
+        vals = np.asarray(vals, np.float64)
+        dt = self.dtype
+        if dt == "d":
+            self.vals.extend(vals.tolist())
+        elif dt == "f":
+            self.vals.extend(
+                vals.astype(np.float32).astype(np.float64).tolist())
+        else:
+            npdt = np.uint16 if dt == "s" else np.uint8
+            stored = vals * self.bs + rnd
+            with np.errstate(invalid="ignore"):
+                q = np.where(np.isfinite(stored), stored, 0) \
+                    .astype(np.int64).astype(npdt)
+            self.vals.extend((q.astype(np.float64) / self.bs).tolist())
+
     def array(self):
         return np.asarray(self.vals, np.float64)
 
@@ -551,18 +568,27 @@ def fsa_matrix(filenames, target, include, cfg, diff, headers=None):
     if not n_inc:
         print("All sequences were trimmed away.", file=sys.stderr)
         return D, None, [0] * len(include)
+    idxs = [i for i in range(len(filenames)) if include[i]]
     if pair:
-        for i in range(len(filenames)):
-            if not include[i]:
-                continue
-            for j in range(i):
-                if not include[j]:
-                    continue
-                pinc = snp.mask_proxi(includes[i], includes[j], seqs[i],
-                                      seqs[j], length, cfg["proxi"])
-                if diff is not None:
-                    _print_diffs(diff, i, j, seqs[i], seqs[j], pinc, length)
-                dist, inc = snp.fsacmpair(seqs[i], seqs[j], pinc)
+        # batched all-pairs kernel when no per-pair proximity re-masking
+        # or SNP listing is needed (identical integer counts)
+        batched = None
+        if diff is None and cfg["proxi"] == 0 and len(idxs) > 2:
+            batched = _batch_pairwise(seqs, includes, idxs)
+        for a, i in enumerate(idxs):
+            for b in range(a):
+                j = idxs[b]
+                if batched is None:
+                    pinc = snp.mask_proxi(includes[i], includes[j],
+                                          seqs[i], seqs[j], length,
+                                          cfg["proxi"])
+                    if diff is not None:
+                        _print_diffs(diff, i, j, seqs[i], seqs[j], pinc,
+                                     length)
+                    dist, inc = snp.fsacmpair(seqs[i], seqs[j], pinc)
+                else:
+                    dist = int(batched[0][a, b])
+                    inc = int(batched[1][a, b])
                 if min_length <= inc:
                     if norm:
                         D.add(dist * norm / inc)
@@ -577,6 +603,11 @@ def fsa_matrix(filenames, target, include, cfg, diff, headers=None):
     print(f"# {inc_global} / {length} bases included in distance matrix.",
           file=sys.stderr)
     nfactor = (norm / inc_global) if norm else 1.0
+    if diff is None and len(idxs) > 2:
+        Dint = _batch_shared(seqs, idxs, shared_inc)
+        for a in range(1, len(idxs)):
+            D.add_many(nfactor * Dint[a, :a].astype(np.float64))
+        return D, None, include
     for i in range(len(filenames)):
         if not include[i]:
             continue
@@ -589,6 +620,37 @@ def fsa_matrix(filenames, target, include, cfg, diff, headers=None):
             dist = snp.fsacmp(seqs[i], seqs[j], shared_inc)
             D.add(nfactor * dist)
     return D, None, include
+
+
+def _use_device() -> bool:
+    return os.environ.get("CCPHYLO_TPU_DIST", "") == "device"
+
+
+def _batch_shared(seqs, idxs, shared_inc):
+    """All-pairs SNP counts for the included samples under the shared
+    mask: TPU MXU kernel when CCPHYLO_TPU_DIST=device, numpy
+    XOR-popcount otherwise.  Integer counts are identical either way."""
+    S = np.stack([seqs[i] for i in idxs])
+    if _use_device():
+        from ..ops import snp_jax
+        s32 = np.stack([snp_jax.u64_to_u32(seqs[i]) for i in idxs])
+        pm = snp_jax.inc32_to_pairmask(shared_inc)
+        return np.asarray(snp_jax.snp_matrix(s32, pm))
+    return snp.pairwise_shared(S, shared_inc)
+
+
+def _batch_pairwise(seqs, includes, idxs):
+    """All-pairs (dist, shared) with per-sample masks (proxi == 0)."""
+    if _use_device():
+        from ..ops import snp_jax
+        s32 = np.stack([snp_jax.u64_to_u32(seqs[i]) for i in idxs])
+        masks = np.stack([snp_jax.inc32_to_pairmask(includes[i])
+                          for i in idxs])
+        Dm, Nm = snp_jax.snp_matrix_pairwise(s32, masks)
+        return np.asarray(Dm), np.asarray(Nm)
+    S = np.stack([seqs[i] for i in idxs])
+    I = np.stack([includes[i] for i in idxs])
+    return snp.pairwise_masked(S, I)
 
 
 def _print_diffs(diff, i, j, seq1, seq2, inc, length):

@@ -7,6 +7,7 @@ matrix carried a '#'-comment, timings on stderr.
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
 import time
@@ -189,6 +190,37 @@ def main_tree(argv: list[str]) -> int:
                      precision, dtype, bytescale)
 
 
+def _dispatch_build(flat, n, names, method, flag, precision, dtype,
+                    bytescale):
+    """Choose the join engine.
+
+    Default: the host exact engine (byte parity with the reference for
+    every method/dtype).  CCPHYLO_TPU_ENGINE selects the TPU-resident
+    DNJ engine for -m dnj on double-precision matrices:
+      device   — float32 state (TPU-native; join order can differ from
+                 the reference by summation ulps)
+      device64 — float64 state (bit-exact trajectory on CPU devices;
+                 on TPU f64 emulation ulps can still flip ties)
+    """
+    eng = os.environ.get("CCPHYLO_TPU_ENGINE", "exact")
+    if eng in ("device", "device64") and method == "dnj" and dtype == "d":
+        import jax
+        # the axon TPU plugin ignores JAX_PLATFORMS; honor it here
+        plat = os.environ.get("JAX_PLATFORMS")
+        if plat:
+            jax.config.update("jax_platforms", plat)
+        import jax.numpy as jnp
+        from ..tree.jax_engine import build_tree_jax
+        if eng == "device64":
+            jax.config.update("jax_enable_x64", True)
+            jdt = jnp.float64
+        else:
+            jdt = jnp.float32
+        return build_tree_jax(flat, n, names, flag, precision, dtype=jdt)
+    return build_tree(flat, n, names, method, flag, precision, dtype,
+                      bytescale)
+
+
 def form_tree(inputfile, outputfile, flag, sep, quotes, method, precision,
               dtype, bytescale) -> int:
     """formTree (tree.c:37-120)."""
@@ -209,8 +241,8 @@ def form_tree(inputfile, outputfile, flag, sep, quotes, method, precision,
             # pass the live name list: the engine's swap-with-last
             # reordering persists across matrices in a stream, exactly as
             # the reference's shared Qseqs* array does (tree.c:82-98)
-            tree = build_tree(flat, n, names, method, flag, precision,
-                              dtype, bytescale)
+            tree = _dispatch_build(flat, n, names, method, flag,
+                                   precision, dtype, bytescale)
         elif n == 2:
             root = names[0]
             form_last_bi_node(root, names[1], float(flat[0]), precision)

@@ -134,6 +134,29 @@ def diff_positions(seq1, seq2, inc, length: int):
 # --- all-pairs batch kernels (numpy host path) -----------------------------
 
 
+def pairwise_masked(seqs: np.ndarray, incs: np.ndarray):
+    """All-pairs (dist, shared) with per-sample include masks and no
+    proximity pruning (fsacmpair under pair mask = AND of both includes,
+    fsacmpthrd.c:409-416 with proxi == 0).
+
+    seqs: (n, W64) u64; incs: (n, W32) u32.  Returns (D, N) int64.
+    """
+    n = seqs.shape[0]
+    Dm = np.zeros((n, n), np.int64)
+    Nm = np.zeros((n, n), np.int64)
+    for i in range(1, n):
+        pinc = incs[:i] & incs[i]
+        x = seqs[:i] ^ seqs[i]
+        d = (x | (x >> U64(1))) & PAIR_LO
+        cnt = np.bitwise_count(d & expand_bits(pinc)).sum(axis=1)
+        nsh = np.bitwise_count(pinc).sum(axis=1)
+        Dm[i, :i] = cnt
+        Dm[:i, i] = cnt
+        Nm[i, :i] = nsh
+        Nm[:i, i] = nsh
+    return Dm, Nm
+
+
 def pairwise_shared(seqs: np.ndarray, inc: np.ndarray) -> np.ndarray:
     """All-pairs SNP counts under one shared include mask.
 

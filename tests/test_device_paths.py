@@ -1,0 +1,75 @@
+"""Byte parity of the opt-in device (JAX) compute paths vs the default
+host engines, driven through the real CLI as a subprocess.
+
+CCPHYLO_TPU_DIST=device routes the all-pairs SNP kernels through the
+MXU one-hot matmuls; CCPHYLO_TPU_ENGINE=device64 runs the join loop as
+a single device program.  On the CPU backend with float64 both must
+reproduce the host engines' bytes exactly.
+"""
+
+import subprocess
+import sys
+
+import pytest
+
+from .conftest import REPO, REFERENCE
+from .gen_kma_data import make_dataset
+
+
+@pytest.fixture(scope="module")
+def kma_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("kma_dev")
+    make_dataset(d, n_samples=6, length=400)
+    return d
+
+
+def _run(args, cwd, extra_env=None):
+    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
+           "JAX_PLATFORMS": "cpu"}
+    env.update(extra_env or {})
+    res = subprocess.run(
+        [sys.executable, "-m", "ccphylo_tpu"] + args, capture_output=True,
+        cwd=cwd, timeout=600, env=env)
+    assert res.returncode == 0, res.stderr.decode(errors="replace")
+    return res.stdout
+
+
+@pytest.mark.parametrize("flags", [["-f", "17"], ["-f", "19"],
+                                   ["-f", "19", "-s", "1e2"]])
+def test_dist_device_kernel_parity(kma_dir, tmp_path, flags):
+    import glob
+    import os
+    fsas = sorted(os.path.basename(p)
+                  for p in glob.glob(str(kma_dir / "*.fsa.gz")))
+    args = ["dist", "-r", "tmpl_1"] + flags + ["-i"] + fsas
+    host = _run(args, kma_dir)
+    dev = _run(args, kma_dir, {"CCPHYLO_TPU_DIST": "device"})
+    assert dev == host
+
+
+def test_tree_device64_parity(tmp_path):
+    """Integer distances (the SNP pipeline's output) make every f64 sum
+    exact, so the device engine's bytes must match the host engine's
+    through the CLI.  (Float matrices can flip the final 3-way root tie
+    on summation-order ulps — covered topologically in
+    test_jax_engine.py.)"""
+    import io
+
+    import numpy as np
+
+    from ccphylo_tpu.io.phylip import print_phy
+    from ccphylo_tpu.io.qseqs import Name
+
+    n = 120
+    rng = np.random.RandomState(42)
+    flat = rng.randint(0, 500, n * (n - 1) // 2).astype(np.float64)
+    names = [Name(b"t%03d" % i, 32) for i in range(n)]
+    buf = io.BytesIO()
+    print_phy(buf, n, flat, names)
+    phy = tmp_path / "int.phy"
+    phy.write_bytes(buf.getvalue())
+
+    args = ["tree", "-m", "dnj", "-i", str(phy)]
+    host = _run(args, tmp_path)
+    dev = _run(args, tmp_path, {"CCPHYLO_TPU_ENGINE": "device64"})
+    assert dev == host
