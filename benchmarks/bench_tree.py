@@ -40,7 +40,7 @@ def device_dnj(n: int, reps: int = 2) -> float:
 
     def run(seed):
         D = make_D(jax.random.PRNGKey(seed))
-        I, J, LI, LJ, dl = dnj_joins(D, jnp.int32(n))
+        I, J, LI, LJ, dl = dnj_joins(D, jnp.int32(n), scan="batch")
         return int(I.sum())  # scalar fetch forces completion
 
     run(0)  # compile

@@ -19,6 +19,7 @@ import sys
 import numpy as np
 
 from ..io import fileio, kma
+from ..utils import timing
 from ..io.phylip import (print_phy, print_phy_update, get_size_phy,
                          get_filenames_phy)
 from ..ops import pack2bit, snp
@@ -604,7 +605,9 @@ def fsa_matrix(filenames, target, include, cfg, diff, headers=None):
           file=sys.stderr)
     nfactor = (norm / inc_global) if norm else 1.0
     if diff is None and len(idxs) > 2:
-        Dint = _batch_shared(seqs, idxs, shared_inc)
+        k = len(idxs)
+        with timing.phase("dist/pairwise_fill", items=k * (k - 1) / 2):
+            Dint = _batch_shared(seqs, idxs, shared_inc)
         for a in range(1, len(idxs)):
             D.add_many(nfactor * Dint[a, :a].astype(np.float64))
         return D, None, include
@@ -629,8 +632,19 @@ def _use_device() -> bool:
 def _batch_shared(seqs, idxs, shared_inc):
     """All-pairs SNP counts for the included samples under the shared
     mask: TPU MXU kernel when CCPHYLO_TPU_DIST=device, numpy
-    XOR-popcount otherwise.  Integer counts are identical either way."""
+    XOR-popcount otherwise.  Integer counts are identical either way.
+
+    CCPHYLO_TPU_CKPT=<dir> computes the fill tile-by-tile with each
+    finished tile persisted; a restarted run recomputes only missing
+    tiles (utils/checkpoint.py)."""
     S = np.stack([seqs[i] for i in idxs])
+    ck_dir = os.environ.get("CCPHYLO_TPU_CKPT")
+    if ck_dir:
+        from ..utils.checkpoint import BlockCheckpoint, fingerprint_arrays
+        bc = BlockCheckpoint(ck_dir, len(idxs),
+                             fingerprint_arrays([S, shared_inc]))
+        return bc.fill(lambda si, sj:
+                       snp.cross_block(S[si], S[sj], shared_inc))
     if _use_device():
         from ..ops import snp_jax
         s32 = np.stack([snp_jax.u64_to_u32(seqs[i]) for i in idxs])

@@ -213,10 +213,11 @@ def _dispatch_build(flat, n, names, method, flag, precision, dtype,
         from ..tree.jax_engine import build_tree_jax
         if eng == "device64":
             jax.config.update("jax_enable_x64", True)
-            jdt = jnp.float64
+            jdt, scan = jnp.float64, "seq"
         else:
-            jdt = jnp.float32
-        return build_tree_jax(flat, n, names, flag, precision, dtype=jdt)
+            jdt, scan = jnp.float32, "batch"
+        return build_tree_jax(flat, n, names, flag, precision, dtype=jdt,
+                              scan=scan)
     return build_tree(flat, n, names, method, flag, precision, dtype,
                       bytescale)
 
@@ -241,8 +242,10 @@ def form_tree(inputfile, outputfile, flag, sep, quotes, method, precision,
             # pass the live name list: the engine's swap-with-last
             # reordering persists across matrices in a stream, exactly as
             # the reference's shared Qseqs* array does (tree.c:82-98)
-            tree = _dispatch_build(flat, n, names, method, flag,
-                                   precision, dtype, bytescale)
+            from ..utils import timing
+            with timing.phase("tree/joins", items=max(n - 2, 0)):
+                tree = _dispatch_build(flat, n, names, method, flag,
+                                       precision, dtype, bytescale)
         elif n == 2:
             root = names[0]
             form_last_bi_node(root, names[1], float(flat[0]), precision)

@@ -157,6 +157,23 @@ def pairwise_masked(seqs: np.ndarray, incs: np.ndarray):
     return Dm, Nm
 
 
+def cross_block(seqs_a: np.ndarray, seqs_b: np.ndarray,
+                inc: np.ndarray) -> np.ndarray:
+    """SNP counts between every row of A and every row of B under one
+    shared mask (checkpointable tile of the all-pairs fill).
+
+    seqs_a: (a, W) u64; seqs_b: (b, W) u64; inc: (W,) u32.
+    Returns (a, b) int64.
+    """
+    e = expand_bits(inc)
+    out = np.zeros((seqs_a.shape[0], seqs_b.shape[0]), np.int64)
+    for k in range(seqs_a.shape[0]):
+        x = seqs_b ^ seqs_a[k]
+        d = (x | (x >> U64(1))) & PAIR_LO
+        out[k] = np.bitwise_count(d & e).sum(axis=1)
+    return out
+
+
 def pairwise_shared(seqs: np.ndarray, inc: np.ndarray) -> np.ndarray:
     """All-pairs SNP counts under one shared include mask.
 

@@ -43,15 +43,24 @@ def _pad(n: int, mult: int = 128) -> int:
     return max(-(-n // mult) * mult, mult)
 
 
-@functools.partial(jax.jit, static_argnames=("neg_limbs",),
+@functools.partial(jax.jit, static_argnames=("neg_limbs", "scan"),
                    donate_argnums=(0,))
-def dnj_joins(D, m, neg_limbs=False):
+def dnj_joins(D, m, neg_limbs=False, scan="seq"):
     """Run all m-2 DNJ joins on device.
 
     D: (N, N) square distance matrix (missing < 0, diagonal 0), padded;
     m: active count.  Returns (I, J, LI, LJ, d_last); records with
     I == J == 0 mean "no joinable pair left" (missing-data early stop,
     dnj.c:1009).
+
+    scan="seq" replicates minQpair's sequential descending row
+    revalidation cycle-for-cycle (trajectory-exact vs the C engine,
+    including every tie).  scan="batch" recomputes all candidate rows
+    (cached Q < running min) in fused (K, n) blocks — the TPU-native
+    formulation; it still revalidates exactly the rows whose cached
+    bound can matter and picks the true minimum pair, but because it
+    freshens rows the C would have skipped under its tightening bound,
+    later tie-breaks can resolve differently on tied data.
     """
     n = D.shape[0]
     dtype = D.dtype
@@ -101,16 +110,10 @@ def dnj_joins(D, m, neg_limbs=False):
         active0.sum() > 1,
         jnp.where(qrows == mn0, idx, -1).max(), 0).astype(jnp.int32)
 
-    def one_join(t, carry):
-        D, sD, N, Q, P, seed, I, J, LI, LJ = carry
-        m_t = m - t
+    KBATCH = 128  # rows revalidated per fused block in scan="batch"
 
-        # ---- minQpair(seed) (dnj.c:43-128)
-        seed_ok = (seed != 0) & (Q[seed] != big)
-        minv0 = jnp.where(seed_ok, Q[seed], big)
-        pi0 = jnp.where(seed_ok, seed, 0)
-        pj0 = jnp.where(seed_ok, P[seed], 0)
-
+    def seq_scan(D, sD, N, Q, P, minv0, pi0, pj0, m_t):
+        """minQpair's descending one-row-at-a-time revalidation."""
         def scond(c):
             return c[0] >= 1
 
@@ -139,141 +142,198 @@ def dnj_joins(D, m, neg_limbs=False):
         cur0 = m_t - 1
         _, minv, pi, pj, Q, P = jax.lax.while_loop(
             scond, sbody, (cur0, minv0, pi0, pj0, Q, P))
+        return minv, pi, pj, Q, P
+
+    def batch_scan(D, sD, N, Q, P, minv0, pi0, pj0, m_t):
+        """Fused candidate-row revalidation: all rows whose cached bound
+        beats the running min are recomputed KBATCH at a time as one
+        (K, n) vector op; the set shrinks every pass (fresh rows can't
+        re-qualify: the running min absorbs their new row minima)."""
+        def cand_mask(Q, minv):
+            return (idx >= 1) & (idx < m_t) & (Q < minv)
+
+        def bcond(c):
+            minv, pi, pj, Q, P = c
+            return cand_mask(Q, minv).any()
+
+        def bbody(c):
+            minv, pi, pj, Q, P = c
+            cm = cand_mask(Q, minv)
+            scores = jnp.where(cm, idx, -1)
+            rows, _ = jax.lax.top_k(scores, KBATCH)  # descending indices
+            valid = rows >= 1
+            r = jnp.where(valid, rows, 0)
+            Drows = D[r]                                    # (K, n)
+            c_ = ((N[r][:, None] + N[None, :] - 4) >> 1).astype(dtype)
+            q = c_ * Drows - sD[r][:, None] - sD[None, :]
+            ok = (idx[None, :] < r[:, None]) & (Drows >= 0)
+            q = jnp.where(ok, q, big)
+            rmin = q.min(axis=1)
+            rarg = jnp.where(q == rmin[:, None], idx[None, :], -1) \
+                .max(axis=1).astype(jnp.int32)
+            # scatter fresh caches (invalid lanes -> out-of-range drop)
+            tgt = jnp.where(valid, rows, n)
+            Q = Q.at[tgt].set(jnp.where(valid, rmin, big),
+                              mode="drop")
+            P = P.at[tgt].set(jnp.where(valid, rarg, 0), mode="drop")
+            # pair update: strict improvement, largest row wins a tie
+            # (the C scan visits rows descending and requires newq <
+            # running min, so the largest row locks an equal min first)
+            bvals = jnp.where(valid, rmin, big)
+            bmin = bvals.min()
+            bi = jnp.where(bvals == bmin, rows, -1).max().astype(jnp.int32)
+            better = bmin < minv
+            karg = jnp.where((bvals == bmin) & (rows == bi), rarg, 0) \
+                .max().astype(jnp.int32)
+            minv = jnp.where(better, bmin, minv)
+            pi = jnp.where(better, bi, pi)
+            pj = jnp.where(better, karg, pj)
+            return minv, pi, pj, Q, P
+
+        return jax.lax.while_loop(
+            bcond, bbody, (minv0, pi0, pj0, Q, P))
+
+    scan_fn = seq_scan if scan == "seq" else batch_scan
+
+    def one_join(t, carry):
+        D, sD, N, Q, P, seed, I, J, LI, LJ = carry
+        m_t = m - t
+
+        # ---- minQpair(seed) (dnj.c:43-128)
+        seed_ok = (seed != 0) & (Q[seed] != big)
+        minv0 = jnp.where(seed_ok, Q[seed], big)
+        pi0 = jnp.where(seed_ok, seed, 0)
+        pj0 = jnp.where(seed_ok, P[seed], 0)
+
+        minv, pi, pj, Q, P = scan_fn(D, sD, N, Q, P, minv0, pi0, pj0,
+                                     m_t)
         have_pair = (pi != 0) | (pj != 0)
         i = pi
         j = pj
 
-        def apply_join(args):
-            D, sD, N, Q, P = args
-            # ---- limbs (nj.c:42-79)
-            D_ij = D[i, j]
-            Ni = N[i] - 2
-            Nj = N[j] - 2
-            delta = jnp.where(
-                (Ni > 0) & (Nj > 0),
-                (sD[i] - D_ij) / jnp.maximum(Ni, 1)
-                - (sD[j] - D_ij) / jnp.maximum(Nj, 1), 0.0)
-            Li = jnp.where((Ni > 0) & (Nj > 0), (D_ij + delta) / 2,
-                           jnp.where(Ni > 0, 0.0,
-                                     jnp.where(Nj > 0, D_ij, D_ij / 2)))
-            Lj = jnp.where((Ni > 0) & (Nj > 0), (D_ij - delta) / 2,
-                           jnp.where(Ni > 0, D_ij,
-                                     jnp.where(Nj > 0, 0.0, D_ij / 2)))
-            if not neg_limbs:
-                Li_c = jnp.where(Li < 0, 0.0,
-                                 jnp.where(Lj < 0, D_ij, Li))
-                Lj_c = jnp.where(Li < 0, D_ij,
-                                 jnp.where(Lj < 0, 0.0, Lj))
-                Li, Lj = Li_c, Lj_c
+        # The join application runs unconditionally with masked no-op
+        # semantics when no pair was found (have_pair False -> i = j =
+        # 0, every write gated to identity).  A lax.cond here would
+        # force XLA to materialize both branch results of the full
+        # (n, n) matrix — one O(n²) copy per join.
+        hp = have_pair
+        # ---- limbs (nj.c:42-79)
+        D_ij = D[i, j]
+        Ni = N[i] - 2
+        Nj = N[j] - 2
+        delta = jnp.where(
+            (Ni > 0) & (Nj > 0),
+            (sD[i] - D_ij) / jnp.maximum(Ni, 1)
+            - (sD[j] - D_ij) / jnp.maximum(Nj, 1), 0.0)
+        Li = jnp.where((Ni > 0) & (Nj > 0), (D_ij + delta) / 2,
+                       jnp.where(Ni > 0, 0.0,
+                                 jnp.where(Nj > 0, D_ij, D_ij / 2)))
+        Lj = jnp.where((Ni > 0) & (Nj > 0), (D_ij - delta) / 2,
+                       jnp.where(Ni > 0, D_ij,
+                                 jnp.where(Nj > 0, 0.0, D_ij / 2)))
+        if not neg_limbs:
+            Li_c = jnp.where(Li < 0, 0.0,
+                             jnp.where(Lj < 0, D_ij, Li))
+            Lj_c = jnp.where(Li < 0, D_ij,
+                             jnp.where(Lj < 0, 0.0, Lj))
+            Li, Lj = Li_c, Lj_c
 
-            # ---- updateD (nj.c:836-1044)
-            active = idx < m_t
-            D_ik = D[i]
-            D_kj = D[j]
-            valid_k = active & (idx != i) & (idx != j)
-            vi = D_ik >= 0
-            vj = D_kj >= 0
-            both = valid_k & vi & vj
-            only_i = valid_k & vi & ~vj
-            only_j = valid_k & ~vi & vj
-            d_both = jnp.maximum((D_ik + D_kj - D_ij) / 2, 0.0)
-            newD = jnp.where(both, d_both,
-                             jnp.where(only_i, D_ik - Li,
-                                       jnp.where(only_j, D_kj - Lj,
-                                                 D_kj)))
-            sD = jnp.where(both, sD - (D_ik + D_kj - d_both),
-                           jnp.where(only_i, sD - Li,
-                                     jnp.where(only_j, sD - Lj, sD)))
-            N = jnp.where(both | only_j, N - 1, N)
-            counted = both | only_i | only_j
-            sD = sD.at[j].set(jnp.where(counted, newD, 0)
-                              .sum(dtype=dtype))
-            N = N.at[j].set(1 + counted.sum(dtype=jnp.int32))
-            newD = jnp.where(valid_k, newD, -1.0)
-            D = D.at[j, :].set(jnp.where(valid_k, newD, D[j]))
-            D = D.at[:, j].set(jnp.where(valid_k, newD, D[:, j]))
+        # ---- updateD (nj.c:836-1044)
+        active = idx < m_t
+        D_ik = D[i]
+        D_kj = D[j]
+        valid_k = active & (idx != i) & (idx != j) & hp
+        vi = D_ik >= 0
+        vj = D_kj >= 0
+        both = valid_k & vi & vj
+        only_i = valid_k & vi & ~vj
+        only_j = valid_k & ~vi & vj
+        d_both = jnp.maximum((D_ik + D_kj - D_ij) / 2, 0.0)
+        newD = jnp.where(both, d_both,
+                         jnp.where(only_i, D_ik - Li,
+                                   jnp.where(only_j, D_kj - Lj,
+                                             D_kj)))
+        sD = jnp.where(both, sD - (D_ik + D_kj - d_both),
+                       jnp.where(only_i, sD - Li,
+                                 jnp.where(only_j, sD - Lj, sD)))
+        N = jnp.where(both | only_j, N - 1, N)
+        counted = both | only_i | only_j
+        sD = sD.at[j].set(jnp.where(
+            hp, jnp.where(counted, newD, 0).sum(dtype=dtype), sD[j]))
+        N = N.at[j].set(jnp.where(
+            hp, 1 + counted.sum(dtype=jnp.int32), N[j]))
+        newD = jnp.where(valid_k, newD, -1.0)
+        D = D.at[j, :].set(jnp.where(valid_k, newD, D[j]))
+        D = D.at[:, j].set(jnp.where(valid_k, newD, D[:, j]))
 
-            # ---- updateDNJ cache repair + mi candidate (dnj.c:607-710)
-            qj = row_q(D, sD, N, j)
-            Qj, Pj = last_min(qj)
-            Q = Q.at[j].set(Qj)
-            P = P.at[j].set(jnp.where(Qj == big, 0, Pj))
-            coefj = ((N[j] + N - 4) >> 1).astype(dtype)
-            qcol = coefj * D[:, j] - sD[j] - sD
-            colk = valid_k & (idx > j) & (D[:, j] >= 0)
-            upd = colk & (qcol <= Q)
-            Q = jnp.where(upd, qcol, Q)
-            P = jnp.where(upd, j, P)
-            mq = jnp.where(upd, qcol, big).min()
-            anyupd = upd.any()
-            mi_cand = jnp.where(
-                anyupd & (mq <= Qj),
-                jnp.where(upd & (qcol == mq), idx, -1).max(), j
-            ).astype(jnp.int32)
+        # ---- updateDNJ cache repair + mi candidate (dnj.c:607-710)
+        qj = row_q(D, sD, N, j)
+        Qj, Pj = last_min(qj)
+        Q = Q.at[j].set(jnp.where(hp, Qj, Q[j]))
+        P = P.at[j].set(jnp.where(
+            hp, jnp.where(Qj == big, 0, Pj), P[j]))
+        coefj = ((N[j] + N - 4) >> 1).astype(dtype)
+        qcol = coefj * D[:, j] - sD[j] - sD
+        colk = valid_k & (idx > j) & (D[:, j] >= 0)
+        upd = colk & (qcol <= Q)
+        Q = jnp.where(upd, qcol, Q)
+        P = jnp.where(upd, j, P)
+        mq = jnp.where(upd, qcol, big).min()
+        anyupd = upd.any()
+        mi_cand = jnp.where(
+            anyupd & (mq <= Qj),
+            jnp.where(upd & (qcol == mq), idx, -1).max(), j
+        ).astype(jnp.int32)
 
-            # ---- DNJ_popArrange (dnj.c:817-975): move last into slot i
-            m_new = m_t - 1
-            last = m_new
+        # ---- DNJ_popArrange (dnj.c:817-975): move last into slot i
+        # (gated no-op when i == last or no pair)
+        m_new = m_t - 1
+        last = m_new
+        g = hp & (i != last)
+        moverow = D[last]
+        newrow_i = jnp.where(idx == i, 0.0, moverow)
+        D = D.at[i, :].set(jnp.where(g, newrow_i, D[i]))
+        D = D.at[:, i].set(jnp.where(g, newrow_i, D[:, i]))
+        D = D.at[i, last].set(jnp.where(g, -1.0, D[i, last]))
+        D = D.at[last, i].set(jnp.where(g, -1.0, D[last, i]))
+        sD = sD.at[i].set(jnp.where(g, sD[last], sD[i]))
+        N = N.at[i].set(jnp.where(g, N[last], N[i]))
+        # row pass: Q[i] over partners < i from moved values
+        qi = row_q(D, sD, N, i)
+        Qi, Pi = last_min(qi)
+        Q = Q.at[i].set(jnp.where(g, Qi, Q[i]))
+        P = P.at[i].set(jnp.where(
+            g, jnp.where(Qi == big, 0, Pi), P[i]))
+        # column pass: rows i < k < last see cell (k, i)
+        coefi = ((N[i] + N - 4) >> 1).astype(dtype)
+        qc = coefi * D[:, i] - sD[i] - sD
+        ck = (idx > i) & (idx < last) & (D[:, i] >= 0) & g
+        u2 = ck & (qc <= Q)
+        Q = jnp.where(u2, qc, Q)
+        P = jnp.where(u2, i, P)
+        mq2 = jnp.where(u2, qc, big).min()
+        p2 = jnp.where(
+            u2.any() & (mq2 <= Qi),
+            jnp.where(u2 & (qc == mq2), idx, -1).max(), i
+        ).astype(jnp.int32)
+        mj_cand = jnp.where(g, p2, 0)
+        Q = Q.at[last].set(big)
 
-            def do_move(args):
-                D, sD, N, Q, P = args
-                moverow = D[last]
-                D = D.at[i, :].set(jnp.where(idx == i, 0.0, moverow))
-                D = D.at[:, i].set(jnp.where(idx == i, 0.0, moverow))
-                D = D.at[i, last].set(-1.0)
-                D = D.at[last, i].set(-1.0)
-                sD = sD.at[i].set(sD[last])
-                N = N.at[i].set(N[last])
-                # row pass: Q[i] over partners < i from moved values
-                qi = row_q(D, sD, N, i)
-                Qi, Pi = last_min(qi)
-                Q = Q.at[i].set(Qi)
-                P = P.at[i].set(jnp.where(Qi == big, 0, Pi))
-                # column pass: rows i < k < last see cell (k, i)
-                coefi = ((N[i] + N - 4) >> 1).astype(dtype)
-                qc = coefi * D[:, i] - sD[i] - sD
-                ck = (idx > i) & (idx < last) & (D[:, i] >= 0)
-                u2 = ck & (qc <= Q)
-                Q = jnp.where(u2, qc, Q)
-                P = jnp.where(u2, i, P)
-                mq2 = jnp.where(u2, qc, big).min()
-                p2 = jnp.where(
-                    u2.any() & (mq2 <= Qi),
-                    jnp.where(u2 & (qc == mq2), idx, -1).max(), i
-                ).astype(jnp.int32)
-                return D, sD, N, Q, P, p2
-
-            def no_move(args):
-                D, sD, N, Q, P = args
-                return D, sD, N, Q, P, jnp.int32(0)
-
-            D, sD, N, Q, P, mj_cand = jax.lax.cond(
-                i != last, do_move, no_move, (D, sD, N, Q, P))
-            Q = Q.at[last].set(big)
-
-            # ---- seed chaining (dnj.c:1026-1032)
-            seed_new = jnp.where(
-                mj_cand == m_new, mi_cand,
-                jnp.where(
-                    mi_cand == m_new, mj_cand,
-                    jnp.where((Q[mj_cand] < Q[mi_cand])
-                              | ((mi_cand < mj_cand)
-                                 & (Q[mj_cand] == Q[mi_cand])),
-                              mj_cand, mi_cand)))
-            return D, sD, N, Q, P, seed_new, Li, Lj
-
-        def skip_join(args):
-            D, sD, N, Q, P = args
-            return (D, sD, N, Q, P, jnp.int32(0),
-                    jnp.asarray(-1.0, dtype), jnp.asarray(-1.0, dtype))
-
-        D, sD, N, Q, P, seed, Li, Lj = jax.lax.cond(
-            have_pair, apply_join, skip_join, (D, sD, N, Q, P))
+        # ---- seed chaining (dnj.c:1026-1032)
+        seed_new = jnp.where(
+            mj_cand == m_new, mi_cand,
+            jnp.where(
+                mi_cand == m_new, mj_cand,
+                jnp.where((Q[mj_cand] < Q[mi_cand])
+                          | ((mi_cand < mj_cand)
+                             & (Q[mj_cand] == Q[mi_cand])),
+                          mj_cand, mi_cand)))
+        seed = jnp.where(hp, seed_new, 0)
 
         I = I.at[t].set(jnp.where(have_pair, i, 0))
         J = J.at[t].set(jnp.where(have_pair, j, 0))
-        LI = LI.at[t].set(Li)
-        LJ = LJ.at[t].set(Lj)
+        LI = LI.at[t].set(jnp.where(hp, Li, -1.0))
+        LJ = LJ.at[t].set(jnp.where(hp, Lj, -1.0))
         return D, sD, N, Q, P, seed, I, J, LI, LJ
 
     I = jnp.zeros(n, jnp.int32)
@@ -289,7 +349,7 @@ def dnj_joins(D, m, neg_limbs=False):
 
 def build_tree_jax(flat64: np.ndarray, n: int, names: list[Name],
                    flag: int = 0, precision: int = 9,
-                   dtype=jnp.float32) -> bytes:
+                   dtype=jnp.float32, scan: str = "seq") -> bytes:
     """Device DNJ over a loaded ltd matrix; Newick bytes (no ';')."""
     npad = _pad(n)
     D = np.full((npad, npad), -1.0, np.float64)
@@ -299,7 +359,8 @@ def build_tree_jax(flat64: np.ndarray, n: int, names: list[Name],
     np.fill_diagonal(D[:n, :n], 0.0)
     I, J, LI, LJ, d_last = dnj_joins(jnp.asarray(D, dtype),
                                      jnp.int32(n),
-                                     neg_limbs=bool(flag & 2))
+                                     neg_limbs=bool(flag & 2),
+                                     scan=scan)
     I = np.asarray(I)
     J = np.asarray(J)
     LI = np.asarray(LI, np.float64)
