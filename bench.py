@@ -21,7 +21,7 @@ import time
 
 import numpy as np
 
-N_SAMPLES = 1024
+N_SAMPLES = 2048  # larger batches amortize the one-hot expansion (VPU)
 L_BASES = 1_000_000
 REPS = 3
 
