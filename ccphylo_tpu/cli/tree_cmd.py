@@ -203,6 +203,17 @@ def _dispatch_build(flat, n, names, method, flag, precision, dtype,
                  on TPU f64 emulation ulps can still flip ties)
     """
     eng = os.environ.get("CCPHYLO_TPU_ENGINE", "exact")
+    if eng == "sharded" and method == "dnj" and dtype == "d":
+        import jax
+        plat = os.environ.get("JAX_PLATFORMS")
+        if plat:
+            jax.config.update("jax_platforms", plat)
+        import numpy as _np
+        from jax.sharding import Mesh
+        from ..parallel.sharded_dnj import build_tree_sharded_dnj
+        mesh = Mesh(_np.array(jax.devices()), ("d",))
+        return build_tree_sharded_dnj(flat, n, names, mesh, flag=flag,
+                                      precision=precision)
     if eng in ("device", "device64") and method == "dnj" and dtype == "d":
         import jax
         # the axon TPU plugin ignores JAX_PLATFORMS; honor it here

@@ -1,0 +1,435 @@
+"""Mesh-sharded Dynamic Neighbor-Joining (the 100k-1M-taxa engine).
+
+The reference scales DNJ with pthread row scans over shared memory and
+mmap out-of-core matrices (dnj.c:505-605, matrix.c:116).  TPU-native
+redesign: the square distance matrix is row-block sharded over a device
+mesh (HBM is the memory pool; a 1M-taxa f32 matrix is 4 TB — a pod
+problem by construction), and every join runs as
+
+  1. *sharded candidate revalidation*: each device keeps the DNJ row
+     caches (Q[i], P[i]) for its own row block and recomputes only rows
+     whose cached bound beats the running global minimum, in fused
+     (K, n) blocks (the sharded version of tree/jax_engine.py's
+     scan="batch"); candidate picks merge with a deterministic
+     allreduce-argmin over ICI (value min, larger global row wins a
+     tie — the same rule as the single-chip batch engine).
+  2. *join application*: the two merged rows are psum-broadcast
+     (O(n) each); every device updates its own rows' column entries and
+     sD/N/Q/P locally; the owners of the merged and moved slots rebuild
+     their full rows from the broadcasts; swap-with-last compaction and
+     the updateDNJ cache-repair rules (`qcol <= Q` refresh + mi/mj
+     seed chaining, dnj.c:607-975) follow the reference exactly.
+
+On distance matrices without exact Q ties (e.g. continuous data) the
+join records equal tree/jax_engine.py's scan="batch" engine on one
+device — the trajectory is device-count invariant; ties can resolve
+differently because the engines freshen different cache subsets.
+
+Missing data (negative cells) follows nj.c:836-1044: per-pair N
+bookkeeping, one-sided update fallbacks, and the early stop when no
+joinable pair remains.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..io.qseqs import Name
+from ..tree.newick_build import (byteshift_fix, form_last_bi_node,
+                                 form_last_node, form_node)
+
+shard_map = jax.shard_map
+
+KBATCH = 32  # candidate rows revalidated per device per pass
+
+
+def _pad_to(n: int, mult: int) -> int:
+    return max(-(-n // mult) * mult, mult)
+
+
+@functools.lru_cache(maxsize=None)
+def _dnj_program(mesh: Mesh, axis: str, npad: int, n: int,
+                 dtype_name: str, neg: bool):
+    dtype = jnp.dtype(dtype_name)
+    ndev = mesh.shape[axis]
+    R = npad // ndev
+    big = jnp.asarray(np.finfo(np.dtype(dtype)).max, dtype)
+    cols = jnp.arange(npad)
+    lidx = jnp.arange(R)
+
+    def body(Dl):
+        dev = jax.lax.axis_index(axis)
+        gi = dev * R + lidx  # global indices of my rows
+
+        def own_row(r):
+            """(is_mine, local_index) for global row r."""
+            return (r // R) == dev, r % R
+
+        def bcast_row(Dl, r):
+            """psum-broadcast global row r of the live local block
+            (O(n) over ICI)."""
+            own, lr = own_row(r)
+            return jax.lax.psum(
+                jnp.where(own, Dl[lr], jnp.zeros(npad, dtype)), axis)
+
+        # --- init: sD, N (initSummaD) + row caches (initHNJ) ---------
+        act0 = cols < n
+        actl0 = act0[gi]
+        validl = (actl0[:, None] & act0[None, :] & (Dl >= 0)
+                  & (gi[:, None] != cols[None, :]))
+        sDl = jnp.where(validl, Dl, 0).sum(axis=1, dtype=dtype)
+        Nl = 1 + validl.sum(axis=1, dtype=jnp.int32)
+        sDg = jax.lax.all_gather(sDl, axis, tiled=True)
+        Ng = jax.lax.all_gather(Nl, axis, tiled=True)
+        coef = ((Nl[:, None] + Ng[None, :] - 4) >> 1).astype(dtype)
+        lvalid = validl & (cols[None, :] < gi[:, None])
+        Qm = jnp.where(lvalid, coef * Dl - sDl[:, None] - sDg[None, :],
+                       big)
+        Ql = Qm.min(axis=1)
+        # initHNJ tie rule: among equal-Q ascending, running-min raw D
+        candm = lvalid & (Qm == Ql[:, None])
+        dmask = jnp.where(candm, Dl, big)
+        prefmin = jax.lax.cummin(dmask, axis=1)
+        sel = candm & (dmask == prefmin)
+        Pl = jnp.where(sel, cols[None, :], -1).max(axis=1) \
+            .astype(jnp.int32)
+        Pl = jnp.maximum(Pl, 0)
+        Ql = jnp.where(actl0, Ql, big)
+
+        # initial seed: global last-wins min over caches
+        q0 = jnp.where((gi >= 1) & actl0, Ql, big)
+        lmin = q0.min()
+        lrow = jnp.where(q0 == lmin, gi, -1).max()
+        cands0 = jax.lax.all_gather(
+            jnp.stack([lmin, lrow.astype(dtype)]), axis)
+        gmin0 = cands0[:, 0].min()
+        seed0 = jnp.where(cands0[:, 0] == gmin0, cands0[:, 1],
+                          -1.0).max().astype(jnp.int32)
+        seed0 = jnp.maximum(seed0, 0)
+
+        def get_scalar(vec_l, r, fill):
+            own, lr = own_row(r)
+            return jax.lax.psum(
+                jnp.where(own, vec_l[lr].astype(dtype), fill), axis)
+
+        def one_join(t, carry):
+            Dl, sDl, Nl, Ql, Pl, seed, I, J, LI, LJ = carry
+            m_t = n - t
+
+            # fresh global sD / N views (updated locally last join)
+            sDg = jax.lax.all_gather(sDl, axis, tiled=True)
+            Ng = jax.lax.all_gather(Nl, axis, tiled=True)
+
+            # ---- seeded minimum + sharded batch revalidation --------
+            seed_q = get_scalar(Ql, seed, jnp.asarray(0, dtype))
+            seed_p = get_scalar(Pl, seed, jnp.asarray(0, dtype)) \
+                .astype(jnp.int32)
+            seed_ok = (seed != 0) & (seed_q != big)
+            minv0 = jnp.where(seed_ok, seed_q, big)
+            pi0 = jnp.where(seed_ok, seed, 0)
+            pj0 = jnp.where(seed_ok, seed_p, 0)
+
+            def cand_mask(Ql, minv):
+                return (gi >= 1) & (gi < m_t) & (Ql < minv)
+
+            def bcond(c):
+                minv, pi, pj, Ql, Pl = c
+                anyc = jax.lax.psum(
+                    cand_mask(Ql, minv).sum(dtype=jnp.int32), axis)
+                return anyc > 0
+
+            def bbody(c):
+                minv, pi, pj, Ql, Pl = c
+                cm = cand_mask(Ql, minv)
+                scores = jnp.where(cm, lidx, -1)
+                rows, _ = jax.lax.top_k(scores, KBATCH)  # local idx desc
+                valid = rows >= 0
+                r = jnp.where(valid, rows, 0)
+                Drows = Dl[r]                                  # (K, npad)
+                grow = gi[r]                                   # global
+                c_ = ((Nl[r][:, None] + Ng[None, :] - 4) >> 1) \
+                    .astype(dtype)
+                q = c_ * Drows - sDl[r][:, None] - sDg[None, :]
+                ok = (cols[None, :] < grow[:, None]) & (Drows >= 0)
+                q = jnp.where(ok, q, big)
+                rmin = q.min(axis=1)
+                rarg = jnp.where(q == rmin[:, None], cols[None, :], -1) \
+                    .max(axis=1).astype(jnp.int32)
+                tgt = jnp.where(valid, rows, R)
+                Ql = Ql.at[tgt].set(jnp.where(valid, rmin, big),
+                                    mode="drop")
+                Pl = Pl.at[tgt].set(jnp.where(valid, rarg, 0),
+                                    mode="drop")
+                # local best (value min, larger global row wins ties)
+                bvals = jnp.where(valid, rmin, big)
+                bmin = bvals.min()
+                bi = jnp.where(bvals == bmin, grow, -1).max()
+                bj = jnp.where((bvals == bmin) & (grow == bi), rarg, 0) \
+                    .max()
+                # allreduce-argmin over devices, same tie rule
+                cand = jnp.stack([bmin, bi.astype(dtype),
+                                  bj.astype(dtype)])
+                cs = jax.lax.all_gather(cand, axis)           # (ndev, 3)
+                gmin = cs[:, 0].min()
+                gim = jnp.where(cs[:, 0] == gmin, cs[:, 1], -1.0).max()
+                gjm = jnp.where((cs[:, 0] == gmin) & (cs[:, 1] == gim),
+                                cs[:, 2], 0.0).max()
+                better = gmin < minv
+                minv = jnp.where(better, gmin, minv)
+                pi = jnp.where(better, gim.astype(jnp.int32), pi)
+                pj = jnp.where(better, gjm.astype(jnp.int32), pj)
+                return minv, pi, pj, Ql, Pl
+
+            minv, pi, pj, Ql, Pl = jax.lax.while_loop(
+                bcond, bbody, (minv0, pi0, pj0, Ql, Pl))
+            have_pair = (pi != 0) | (pj != 0)
+            hp = have_pair
+            i, j = pi, pj
+
+            # ---- join application (masked no-ops when no pair) ------
+            rowi = bcast_row(Dl, i)
+            rowj = bcast_row(Dl, j)
+            D_ij = rowi[j]
+            sD_i = sDg[i]
+            sD_j = sDg[j]
+            N_i = Ng[i]
+            N_j = Ng[j]
+
+            # limbs (nj.c:42-79)
+            Ni = N_i - 2
+            Nj = N_j - 2
+            delta = jnp.where(
+                (Ni > 0) & (Nj > 0),
+                (sD_i - D_ij) / jnp.maximum(Ni, 1)
+                - (sD_j - D_ij) / jnp.maximum(Nj, 1), 0.0)
+            Li = jnp.where((Ni > 0) & (Nj > 0), (D_ij + delta) / 2,
+                           jnp.where(Ni > 0, 0.0,
+                                     jnp.where(Nj > 0, D_ij, D_ij / 2)))
+            Lj = jnp.where((Ni > 0) & (Nj > 0), (D_ij - delta) / 2,
+                           jnp.where(Ni > 0, D_ij,
+                                     jnp.where(Nj > 0, 0.0, D_ij / 2)))
+            if not neg:
+                Li_c = jnp.where(Li < 0, 0.0, jnp.where(Lj < 0, D_ij, Li))
+                Lj_c = jnp.where(Li < 0, D_ij, jnp.where(Lj < 0, 0.0, Lj))
+                Li, Lj = Li_c, Lj_c
+
+            # updateD (nj.c:836-1044) — replicated full-row view
+            act = cols < m_t
+            vi_f = rowi >= 0
+            vj_f = rowj >= 0
+            validk_f = act & (cols != i) & (cols != j) & hp
+            both_f = validk_f & vi_f & vj_f
+            oi_f = validk_f & vi_f & ~vj_f
+            oj_f = validk_f & ~vi_f & vj_f
+            dboth_f = jnp.maximum((rowi + rowj - D_ij) / 2, 0.0)
+            newd_f = jnp.where(both_f, dboth_f,
+                               jnp.where(oi_f, rowi - Li,
+                                         jnp.where(oj_f, rowj - Lj,
+                                                   rowj)))
+            counted_f = both_f | oi_f | oj_f
+            sDj_new = jnp.where(counted_f, newd_f, 0).sum(dtype=dtype)
+            Nj_new = 1 + counted_f.sum(dtype=jnp.int32)
+            newd_masked = jnp.where(validk_f, newd_f, -1.0)
+
+            # my rows' local view of the same masks
+            both_l = both_f[gi]
+            oi_l = oi_f[gi]
+            oj_l = oj_f[gi]
+            newd_l = newd_f[gi]
+            validk_l = validk_f[gi]
+            sDl = jnp.where(both_l, sDl - (rowi[gi] + rowj[gi]
+                                           - dboth_f[gi]),
+                            jnp.where(oi_l, sDl - Li,
+                                      jnp.where(oj_l, sDl - Lj, sDl)))
+            Nl = jnp.where(both_l | oj_l, Nl - 1, Nl)
+            ownj, lj = own_row(j)
+            sDl = jnp.where(ownj & hp,
+                            sDl.at[lj].set(sDj_new), sDl)
+            Nl = jnp.where(ownj & hp, Nl.at[lj].set(Nj_new), Nl)
+            # column j for my rows; row j for its owner
+            Dl = Dl.at[:, j].set(jnp.where(validk_l, newd_l, Dl[:, j]))
+            rowj_new = jnp.where(validk_f, newd_masked, rowj)
+            Dl = jnp.where(ownj & hp, Dl.at[lj, :].set(rowj_new), Dl)
+
+            # replicated new global sD / N (avoids a second all-gather)
+            sDg2 = jnp.where(both_f, sDg - (rowi + rowj - dboth_f),
+                             jnp.where(oi_f, sDg - Li,
+                                       jnp.where(oj_f, sDg - Lj, sDg)))
+            sDg2 = sDg2.at[j].set(jnp.where(hp, sDj_new, sDg[j]))
+            Ng2 = jnp.where(both_f | oj_f, Ng - 1, Ng)
+            Ng2 = Ng2.at[j].set(jnp.where(hp, Nj_new, Ng[j]))
+
+            # updateDNJ cache repair for column j + fresh row j cache
+            qj_f = ((Ng2[j] + Ng2 - 4) >> 1).astype(dtype) * rowj_new \
+                - sDg2[j] - sDg2
+            okj = (cols < j) & (rowj_new >= 0)
+            qj_f = jnp.where(okj, qj_f, big)
+            Qj = qj_f.min()
+            Pj = jnp.where(qj_f == Qj, cols, -1).max().astype(jnp.int32)
+            Ql = jnp.where(ownj & hp,
+                           Ql.at[lj].set(Qj), Ql)
+            Pl = jnp.where(ownj & hp,
+                           Pl.at[lj].set(jnp.where(Qj == big, 0, Pj)),
+                           Pl)
+            coefj_l = ((Ng2[j] + Nl - 4) >> 1).astype(dtype)
+            qcol_l = coefj_l * Dl[:, j] - sDg2[j] - sDl
+            colk_l = validk_l & (gi > j) & (Dl[:, j] >= 0)
+            upd_l = colk_l & (qcol_l <= Ql)
+            Ql = jnp.where(upd_l, qcol_l, Ql)
+            Pl = jnp.where(upd_l, j, Pl)
+            # mi candidate: global last-wins argmin over updated rows
+            mql = jnp.where(upd_l, qcol_l, big)
+            lmq = mql.min()
+            lmi = jnp.where(mql == lmq, gi, -1).max()
+            cu = jax.lax.all_gather(
+                jnp.stack([lmq, lmi.astype(dtype)]), axis)
+            gmq = cu[:, 0].min()
+            gmi = jnp.where(cu[:, 0] == gmq, cu[:, 1], -1.0).max() \
+                .astype(jnp.int32)
+            anyu = gmq < big
+            mi_cand = jnp.where(anyu & (gmq <= Qj), gmi, j)
+
+            # ---- DNJ_popArrange: move row `last` into slot i --------
+            m_new = m_t - 1
+            last = m_new
+            g = hp & (i != last)
+            rowlast = bcast_row(Dl, last)
+            # moved row, with its self-cell zero and old slot poisoned
+            moved_f = rowlast.at[i].set(0.0).at[last].set(-1.0)
+            owni, li = own_row(i)
+            ownl, ll = own_row(last)
+            Dl = jnp.where(g & owni, Dl.at[li, :].set(moved_f), Dl)
+            Dl = Dl.at[:, i].set(jnp.where(g, moved_f[gi], Dl[:, i]))
+            sD_last = sDg2[last]
+            N_last = Ng2[last]
+            sDl = jnp.where(g & owni, sDl.at[li].set(sD_last), sDl)
+            Nl = jnp.where(g & owni, Nl.at[li].set(N_last), Nl)
+            sDg2 = sDg2.at[i].set(jnp.where(g, sD_last, sDg2[i]))
+            Ng2 = Ng2.at[i].set(jnp.where(g, N_last, Ng2[i]))
+            # fresh cache for the moved slot (replicated compute)
+            qi_f = ((Ng2[i] + Ng2 - 4) >> 1).astype(dtype) * moved_f \
+                - sDg2[i] - sDg2
+            oki = (cols < i) & (moved_f >= 0)
+            qi_f = jnp.where(oki, qi_f, big)
+            Qi = qi_f.min()
+            Pi = jnp.where(qi_f == Qi, cols, -1).max().astype(jnp.int32)
+            Ql = jnp.where(g & owni, Ql.at[li].set(Qi), Ql)
+            Pl = jnp.where(g & owni,
+                           Pl.at[li].set(jnp.where(Qi == big, 0, Pi)),
+                           Pl)
+            # column pass: rows i < k < last see cell (k, i)
+            coefi_l = ((Ng2[i] + Nl - 4) >> 1).astype(dtype)
+            qc_l = coefi_l * Dl[:, i] - sDg2[i] - sDl
+            ck_l = (gi > i) & (gi < last) & (Dl[:, i] >= 0) & g
+            u2_l = ck_l & (qc_l <= Ql)
+            Ql = jnp.where(u2_l, qc_l, Ql)
+            Pl = jnp.where(u2_l, i, Pl)
+            mq2l = jnp.where(u2_l, qc_l, big)
+            lmq2 = mq2l.min()
+            lmi2 = jnp.where(mq2l == lmq2, gi, -1).max()
+            cu2 = jax.lax.all_gather(
+                jnp.stack([lmq2, lmi2.astype(dtype)]), axis)
+            gmq2 = cu2[:, 0].min()
+            gmi2 = jnp.where(cu2[:, 0] == gmq2, cu2[:, 1], -1.0).max() \
+                .astype(jnp.int32)
+            p2 = jnp.where((gmq2 < big) & (gmq2 <= Qi), gmi2, i)
+            mj_cand = jnp.where(g, p2, 0)
+            # retire the vacated slot
+            Ql = jnp.where(ownl, Ql.at[ll].set(big), Ql)
+
+            # seed chaining (dnj.c:1026-1032)
+            Qmi = get_scalar(Ql, mi_cand, jnp.asarray(0, dtype))
+            Qmj = get_scalar(Ql, mj_cand, jnp.asarray(0, dtype))
+            seed_new = jnp.where(
+                mj_cand == m_new, mi_cand,
+                jnp.where(mi_cand == m_new, mj_cand,
+                          jnp.where((Qmj < Qmi)
+                                    | ((mi_cand < mj_cand)
+                                       & (Qmj == Qmi)),
+                                    mj_cand, mi_cand)))
+            seed = jnp.where(hp, seed_new, 0)
+
+            I = I.at[t].set(jnp.where(hp, i, 0))
+            J = J.at[t].set(jnp.where(hp, j, 0))
+            LI = LI.at[t].set(jnp.where(hp, Li, -1.0))
+            LJ = LJ.at[t].set(jnp.where(hp, Lj, -1.0))
+            return Dl, sDl, Nl, Ql, Pl, seed, I, J, LI, LJ
+
+        vary = lambda x: jax.lax.pvary(x, (axis,))
+        I = vary(jnp.zeros(max(n - 2, 1), jnp.int32))
+        J = vary(jnp.zeros(max(n - 2, 1), jnp.int32))
+        LI = vary(jnp.zeros(max(n - 2, 1), dtype))
+        LJ = vary(jnp.zeros(max(n - 2, 1), dtype))
+        carry = (Dl, sDl, Nl, Ql, Pl, seed0, I, J, LI, LJ)
+        Dl, sDl, Nl, Ql, Pl, seed, I, J, LI, LJ = jax.lax.fori_loop(
+            0, n - 2, one_join, carry)
+        # the final pair's distance: D[1, 0]
+        own1, l1 = own_row(jnp.int32(1))
+        d_last = jax.lax.psum(
+            jnp.where(own1, Dl[l1, 0], jnp.asarray(0, dtype)), axis)
+        return I, J, LI, LJ, d_last
+
+    fn = shard_map(body, mesh=mesh, in_specs=(P(axis, None),),
+                   out_specs=(P(),) * 5, check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_dnj_records(D: np.ndarray, n: int, mesh: Mesh,
+                        axis: str = "d", dtype=jnp.float32,
+                        neg: bool = False):
+    """Run the sharded DNJ loop; returns host (I, J, LI, LJ, d_last).
+
+    D: (n, n) square distance matrix (missing < 0, diag 0).  Join
+    records use the engine's swap-with-last slot convention (the same
+    as tree/jax_engine.py).
+    """
+    if n < 3:
+        raise ValueError("need at least 3 taxa")
+    ndev = mesh.shape[axis]
+    npad = _pad_to(n, 128 * ndev)
+    dt = jnp.dtype(dtype)
+    Dp = np.full((npad, npad), -1.0, dt)
+    Dp[:n, :n] = D[:n, :n]
+    np.fill_diagonal(Dp[:n, :n], 0.0)
+    Dd = jax.device_put(jnp.asarray(Dp),
+                        NamedSharding(mesh, P(axis, None)))
+    prog = _dnj_program(mesh, axis, npad, n, dt.name, neg)
+    out = prog(Dd)
+    return tuple(np.asarray(x) for x in out)
+
+
+def build_tree_sharded_dnj(flat64: np.ndarray, n: int, names: list[Name],
+                           mesh: Mesh, axis: str = "d", flag: int = 0,
+                           precision: int = 9,
+                           dtype=jnp.float32) -> bytes:
+    """Newick bytes (no ';') via the sharded DNJ engine."""
+    D = np.full((n, n), -1.0, np.float64)
+    iu = np.tril_indices(n, -1)
+    D[(iu[0], iu[1])] = flat64
+    D[(iu[1], iu[0])] = flat64
+    np.fill_diagonal(D, 0.0)
+    I, J, LI, LJ, d_last = sharded_dnj_records(D, n, mesh, axis, dtype,
+                                               neg=bool(flag & 2))
+    m = n
+    for t in range(max(n - 2, 0)):
+        i, j = int(I[t]), int(J[t])
+        if i == 0 and j == 0:
+            break
+        form_node(names[j], names[i], float(LJ[t]), float(LI[t]),
+                  precision)
+        m -= 1
+        names[i], names[m] = names[m], names[i]
+    last = form_last_bi_node if (flag & 1) else form_last_node
+    if m == 2:
+        last(names[0], names[1], float(d_last), precision)
+    else:
+        while m > 1:
+            m -= 1
+            last(names[0], names[m], -1.0, precision)
+    byteshift_fix(names[0])
+    return names[0].data
