@@ -32,10 +32,16 @@ def device_dnj(n: int, reps: int = 2) -> float:
 
     @jax.jit
     def make_D(key):
-        u = jax.random.uniform(key, (npad, npad), jnp.float32, 0.01, 1.0)
-        D = (u + u.T) / 2
-        D = jnp.where(jnp.arange(npad)[:, None] == jnp.arange(npad), 0.0, D)
-        active = jnp.arange(npad) < n
+        # symmetric-by-construction from 1-D embeddings (one matrix
+        # materialization — n=32768 f32 is 4.3 GB, so no transposes)
+        x = jax.random.uniform(key, (npad,), jnp.float32, 0.0, 1.0)
+        y = jax.random.uniform(jax.random.fold_in(key, 1), (npad,),
+                               jnp.float32, 0.0, 1.0)
+        idx = jnp.arange(npad)
+        active = idx < n
+        D = jnp.abs(x[:, None] - x[None, :]) \
+            + jnp.abs(y[:, None] - y[None, :]) + 0.01
+        D = jnp.where(idx[:, None] == idx[None, :], 0.0, D)
         return jnp.where(active[:, None] & active[None, :], D, -1.0)
 
     def run(seed):

@@ -119,14 +119,79 @@ def iter_mat_templates(data: bytes):
         pos = end
 
 
+# --- per-file template index cache ------------------------------------------
+# The reference avoids re-scanning multi-template .mat streams with
+# fbseek TimeStamps (file position + inflate-state checkpoints,
+# fbseek.c:27-95; disabled for gz there).  Here: decompressed bytes +
+# a name -> byte-span index, cached per (path, mtime, size) with an
+# LRU byte budget (CCPHYLO_TPU_MAT_CACHE_MB, default 1024; 0 disables).
+
+_mat_cache: dict = {}
+
+
+def _mat_cache_budget() -> int:
+    import os
+    try:
+        mb = int(os.environ.get("CCPHYLO_TPU_MAT_CACHE_MB", "1024"))
+    except ValueError:
+        mb = 1024
+    return mb * (1 << 20)
+
+
+def _mat_file_index(filename: str):
+    """(data, {template_name: (start, end)}) for a .mat file, cached."""
+    import os
+    budget = _mat_cache_budget()
+    try:
+        st = os.stat(filename)
+        key = (filename, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None and key in _mat_cache:
+        ent = _mat_cache.pop(key)
+        _mat_cache[key] = ent  # LRU refresh
+        return ent
+    data = fileio.read_bytes(filename)
+    index = {}
+    for name, span in _iter_mat_template_spans(data):
+        index.setdefault(name, span)
+    ent = (data, index)
+    if key is not None and budget > 0 and len(data) <= budget:
+        _mat_cache[key] = ent
+        total = sum(len(d) for d, _ in _mat_cache.values())
+        while total > budget and len(_mat_cache) > 1:
+            oldest = next(iter(_mat_cache))  # dicts keep insert order
+            d, _ = _mat_cache.pop(oldest)
+            total -= len(d)
+    return ent
+
+
+def _iter_mat_template_spans(data: bytes):
+    """Yield (name, (start, end)) byte spans per '#template' block."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        h = data.find(b"#", pos)
+        if h < 0:
+            return
+        nl = data.find(b"\n", h)
+        if nl < 0:
+            return
+        name = data[h + 1:nl]
+        nxt = data.find(b"\n#", nl)
+        end = n if nxt < 0 else nxt + 1
+        yield name, (nl + 1, end)
+        pos = end
+
+
 def load_mat_template(filename: str, target: bytes) -> MatTemplate | None:
     """Find one template in a (gzipped) KMA .mat file and parse it."""
-    data = fileio.read_bytes(filename)
-    for name, block in iter_mat_templates(data):
-        if name == target:
-            refs, counts, totals = _parse_rows(block)
-            return MatTemplate(name, refs, counts, totals)
-    return None
+    data, index = _mat_file_index(filename)
+    span = index.get(target)
+    if span is None:
+        return None
+    refs, counts, totals = _parse_rows(data[span[0]:span[1]])
+    return MatTemplate(target, refs, counts, totals)
 
 
 def mat_template_names(filename: str):

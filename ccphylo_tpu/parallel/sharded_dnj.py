@@ -247,14 +247,17 @@ def _dnj_program(mesh: Mesh, axis: str, npad: int, n: int,
                             jnp.where(oi_l, sDl - Li,
                                       jnp.where(oj_l, sDl - Lj, sDl)))
             Nl = jnp.where(both_l | oj_l, Nl - 1, Nl)
+            # owner writes go through drop-mode scatters (out-of-range
+            # index when not mine / no pair) — a jnp.where over the
+            # whole local block would cost O(R*n) per join
             ownj, lj = own_row(j)
-            sDl = jnp.where(ownj & hp,
-                            sDl.at[lj].set(sDj_new), sDl)
-            Nl = jnp.where(ownj & hp, Nl.at[lj].set(Nj_new), Nl)
+            lj_w = jnp.where(ownj & hp, lj, R)
+            sDl = sDl.at[lj_w].set(sDj_new, mode="drop")
+            Nl = Nl.at[lj_w].set(Nj_new, mode="drop")
             # column j for my rows; row j for its owner
             Dl = Dl.at[:, j].set(jnp.where(validk_l, newd_l, Dl[:, j]))
             rowj_new = jnp.where(validk_f, newd_masked, rowj)
-            Dl = jnp.where(ownj & hp, Dl.at[lj, :].set(rowj_new), Dl)
+            Dl = Dl.at[lj_w, :].set(rowj_new, mode="drop")
 
             # replicated new global sD / N (avoids a second all-gather)
             sDg2 = jnp.where(both_f, sDg - (rowi + rowj - dboth_f),
@@ -271,11 +274,9 @@ def _dnj_program(mesh: Mesh, axis: str, npad: int, n: int,
             qj_f = jnp.where(okj, qj_f, big)
             Qj = qj_f.min()
             Pj = jnp.where(qj_f == Qj, cols, -1).max().astype(jnp.int32)
-            Ql = jnp.where(ownj & hp,
-                           Ql.at[lj].set(Qj), Ql)
-            Pl = jnp.where(ownj & hp,
-                           Pl.at[lj].set(jnp.where(Qj == big, 0, Pj)),
-                           Pl)
+            Ql = Ql.at[lj_w].set(Qj, mode="drop")
+            Pl = Pl.at[lj_w].set(jnp.where(Qj == big, 0, Pj),
+                                 mode="drop")
             coefj_l = ((Ng2[j] + Nl - 4) >> 1).astype(dtype)
             qcol_l = coefj_l * Dl[:, j] - sDg2[j] - sDl
             colk_l = validk_l & (gi > j) & (Dl[:, j] >= 0)
@@ -303,12 +304,13 @@ def _dnj_program(mesh: Mesh, axis: str, npad: int, n: int,
             moved_f = rowlast.at[i].set(0.0).at[last].set(-1.0)
             owni, li = own_row(i)
             ownl, ll = own_row(last)
-            Dl = jnp.where(g & owni, Dl.at[li, :].set(moved_f), Dl)
+            li_w = jnp.where(g & owni, li, R)
+            Dl = Dl.at[li_w, :].set(moved_f, mode="drop")
             Dl = Dl.at[:, i].set(jnp.where(g, moved_f[gi], Dl[:, i]))
             sD_last = sDg2[last]
             N_last = Ng2[last]
-            sDl = jnp.where(g & owni, sDl.at[li].set(sD_last), sDl)
-            Nl = jnp.where(g & owni, Nl.at[li].set(N_last), Nl)
+            sDl = sDl.at[li_w].set(sD_last, mode="drop")
+            Nl = Nl.at[li_w].set(N_last, mode="drop")
             sDg2 = sDg2.at[i].set(jnp.where(g, sD_last, sDg2[i]))
             Ng2 = Ng2.at[i].set(jnp.where(g, N_last, Ng2[i]))
             # fresh cache for the moved slot (replicated compute)
@@ -318,10 +320,9 @@ def _dnj_program(mesh: Mesh, axis: str, npad: int, n: int,
             qi_f = jnp.where(oki, qi_f, big)
             Qi = qi_f.min()
             Pi = jnp.where(qi_f == Qi, cols, -1).max().astype(jnp.int32)
-            Ql = jnp.where(g & owni, Ql.at[li].set(Qi), Ql)
-            Pl = jnp.where(g & owni,
-                           Pl.at[li].set(jnp.where(Qi == big, 0, Pi)),
-                           Pl)
+            Ql = Ql.at[li_w].set(Qi, mode="drop")
+            Pl = Pl.at[li_w].set(jnp.where(Qi == big, 0, Pi),
+                                 mode="drop")
             # column pass: rows i < k < last see cell (k, i)
             coefi_l = ((Ng2[i] + Nl - 4) >> 1).astype(dtype)
             qc_l = coefi_l * Dl[:, i] - sDg2[i] - sDl
@@ -340,7 +341,8 @@ def _dnj_program(mesh: Mesh, axis: str, npad: int, n: int,
             p2 = jnp.where((gmq2 < big) & (gmq2 <= Qi), gmi2, i)
             mj_cand = jnp.where(g, p2, 0)
             # retire the vacated slot
-            Ql = jnp.where(ownl, Ql.at[ll].set(big), Ql)
+            ll_w = jnp.where(ownl, ll, R)
+            Ql = Ql.at[ll_w].set(big, mode="drop")
 
             # seed chaining (dnj.c:1026-1032)
             Qmi = get_scalar(Ql, mi_cand, jnp.asarray(0, dtype))
