@@ -16,6 +16,22 @@ A from-scratch reimplementation of the capabilities of CCPhylo
 
 Reference layout is documented in SURVEY.md; parity points are cited per
 function as ``reference-file:line``.
+
+Reference L0 components with no direct counterpart (absorbed by the
+runtime/platform rather than reimplemented):
+
+- pherror.c (smalloc/sfopen/ERROR): checked allocation/IO become Python
+  exceptions; CLI modules reproduce the reference's stderr messages and
+  exit codes at their call sites.
+- threader.h (spin locks, atomic work cursors): single-node pthread
+  work-sharing is replaced by XLA collectives (allreduce-argmin picks in
+  parallel/) and batched device kernels — determinism comes from
+  index-packed reductions, not lock ordering.
+- vector.c / ulist.c / qseqs.c growth: Python lists + numpy arrays;
+  qseqs capacity semantics kept where they affect output
+  (io/qseqs.py Name.grow_for).
+- stdnuc.c (nibble2base, 2-bit k-mer helpers): io/kmadb.py unpacks KMA
+  DB sequences with the same 2-bit layout (seq2fasta.c:50-170).
 """
 
 __version__ = "0.1.0"

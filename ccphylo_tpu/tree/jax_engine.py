@@ -67,7 +67,6 @@ def dnj_joins(D, m, neg_limbs=False, scan="seq"):
     # the DBL_MAX analog in the state dtype (f32: FLT_MAX)
     big = jnp.asarray(np.finfo(np.dtype(dtype)).max, dtype)
     idx = jnp.arange(n)
-    tri = idx[None, :] < idx[:, None]  # partners j < i
 
     def row_q(D, sD, N, i):
         """Q over row i's smaller partners; +BIG where invalid."""
@@ -82,25 +81,48 @@ def dnj_joins(D, m, neg_limbs=False, scan="seq"):
         mn = q.min()
         return mn, jnp.where(q == mn, idx, -1).max().astype(jnp.int32)
 
-    # --- init: sD, N (initSummaD) and row caches (initHNJ)
+    # --- init: sD, N (initSummaD) and row caches (initHNJ), computed
+    # in row chunks — full (n, n) intermediates (Qm, cummin masks)
+    # would triple peak HBM and OOM large runs
     active0 = idx < m
-    valid = active0[:, None] & active0[None, :] & (D >= 0) \
-        & (idx[:, None] != idx[None, :])
-    sD = jnp.where(valid, D, 0).sum(axis=1, dtype=dtype)
-    N = 1 + valid.sum(axis=1, dtype=jnp.int32)
-    coef = ((N[:, None] + N[None, :] - 4) >> 1).astype(dtype)
-    lvalid = valid & tri
-    Qm = jnp.where(lvalid, coef * D - sD[:, None] - sD[None, :], big)
-    Q = Qm.min(axis=1)
-    # initHNJ tie rule (hclust.c:110-116): among equal-Q candidates
-    # ascending, accept while the raw distance is a running minimum
-    rowmin = Q[:, None]
-    cand = lvalid & (Qm == rowmin)
-    dmask = jnp.where(cand, D, big)
-    prefmin = jax.lax.cummin(dmask, axis=1)
-    sel = cand & (dmask == prefmin)
-    P = jnp.where(sel, idx[None, :], -1).max(axis=1).astype(jnp.int32)
-    P = jnp.maximum(P, 0)
+    # n is a multiple of 128 (_pad); pick the largest dividing chunk
+    CH = next(c for c in (512, 256, 128) if n % c == 0)
+    nch = n // CH
+
+    def _sdn_chunk(_, c):
+        rows = c * CH + jnp.arange(CH)
+        Drows = jax.lax.dynamic_slice(D, (c * CH, 0), (CH, n))
+        v = (active0[rows][:, None] & active0[None, :] & (Drows >= 0)
+             & (rows[:, None] != idx[None, :]))
+        return None, (jnp.where(v, Drows, 0).sum(axis=1, dtype=dtype),
+                      1 + v.sum(axis=1, dtype=jnp.int32))
+
+    _, (sD, N) = jax.lax.scan(_sdn_chunk, None, jnp.arange(nch))
+    sD = sD.reshape(n)
+    N = N.reshape(n)
+
+    def _qp_chunk(_, c):
+        rows = c * CH + jnp.arange(CH)
+        Drows = jax.lax.dynamic_slice(D, (c * CH, 0), (CH, n))
+        lv = (active0[rows][:, None] & active0[None, :] & (Drows >= 0)
+              & (idx[None, :] < rows[:, None]))
+        coef = ((N[rows][:, None] + N[None, :] - 4) >> 1).astype(dtype)
+        Qm = jnp.where(lv, coef * Drows - sD[rows][:, None]
+                       - sD[None, :], big)
+        Qc = Qm.min(axis=1)
+        # initHNJ tie rule (hclust.c:110-116): among equal-Q candidates
+        # ascending, accept while the raw distance is a running minimum
+        cand = lv & (Qm == Qc[:, None])
+        dmask = jnp.where(cand, Drows, big)
+        prefmin = jax.lax.cummin(dmask, axis=1)
+        sel = cand & (dmask == prefmin)
+        Pc = jnp.where(sel, idx[None, :], -1).max(axis=1) \
+            .astype(jnp.int32)
+        return None, (Qc, jnp.maximum(Pc, 0))
+
+    _, (Q, P) = jax.lax.scan(_qp_chunk, None, jnp.arange(nch))
+    Q = Q.reshape(n)
+    P = P.reshape(n)
     Q = jnp.where(active0, Q, big)
 
     # initial seed: minQ over caches, `<=` last-wins (hclust.c:353-381)
