@@ -208,12 +208,11 @@ def _dispatch_build(flat, n, names, method, flag, precision, dtype,
         plat = os.environ.get("JAX_PLATFORMS")
         if plat:
             jax.config.update("jax_platforms", plat)
-        import numpy as _np
-        from jax.sharding import Mesh
+        from ..parallel.multihost import maybe_init_distributed, row_mesh
         from ..parallel.sharded_dnj import build_tree_sharded_dnj
-        mesh = Mesh(_np.array(jax.devices()), ("d",))
-        return build_tree_sharded_dnj(flat, n, names, mesh, flag=flag,
-                                      precision=precision)
+        maybe_init_distributed()
+        return build_tree_sharded_dnj(flat, n, names, row_mesh(),
+                                      flag=flag, precision=precision)
     if eng in ("device", "device64") and method == "dnj" and dtype == "d":
         import jax
         # the axon TPU plugin ignores JAX_PLATFORMS; honor it here
