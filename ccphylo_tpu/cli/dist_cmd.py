@@ -646,21 +646,23 @@ def _batch_shared(seqs, idxs, shared_inc):
         return bc.fill(lambda si, sj:
                        snp.cross_block(S[si], S[sj], shared_inc))
     if _use_device():
-        from ..ops import snp_jax
+        from ..ops import snp_jax, snp_pallas
         s32 = np.stack([snp_jax.u64_to_u32(seqs[i]) for i in idxs])
         pm = snp_jax.inc32_to_pairmask(shared_inc)
-        return np.asarray(snp_jax.snp_matrix(s32, pm))
+        mod = snp_pallas if snp_pallas.available() else snp_jax
+        return np.asarray(mod.snp_matrix(s32, pm))
     return snp.pairwise_shared(S, shared_inc)
 
 
 def _batch_pairwise(seqs, includes, idxs):
     """All-pairs (dist, shared) with per-sample masks (proxi == 0)."""
     if _use_device():
-        from ..ops import snp_jax
+        from ..ops import snp_jax, snp_pallas
         s32 = np.stack([snp_jax.u64_to_u32(seqs[i]) for i in idxs])
         masks = np.stack([snp_jax.inc32_to_pairmask(includes[i])
                           for i in idxs])
-        Dm, Nm = snp_jax.snp_matrix_pairwise(s32, masks)
+        mod = snp_pallas if snp_pallas.available() else snp_jax
+        Dm, Nm = mod.snp_matrix_pairwise(s32, masks)
         return np.asarray(Dm), np.asarray(Nm)
     S = np.stack([seqs[i] for i in idxs])
     I = np.stack([includes[i] for i in idxs])
