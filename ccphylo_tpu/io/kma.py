@@ -103,20 +103,8 @@ def _parse_rows(block: bytes):
 
 def iter_mat_templates(data: bytes):
     """Yield (name, section_bytes) per '#template' block of a .mat."""
-    pos = 0
-    n = len(data)
-    while pos < n:
-        h = data.find(b"#", pos)
-        if h < 0:
-            return
-        nl = data.find(b"\n", h)
-        if nl < 0:
-            return
-        name = data[h + 1:nl]
-        nxt = data.find(b"\n#", nl)
-        end = n if nxt < 0 else nxt + 1
-        yield name, data[nl + 1:end]
-        pos = end
+    for name, (start, end) in _iter_mat_template_spans(data):
+        yield name, data[start:end]
 
 
 # --- per-file template index cache ------------------------------------------

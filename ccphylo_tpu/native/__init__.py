@@ -37,6 +37,7 @@ def _build() -> str | None:
     if os.path.exists(out):
         return out
     for cxx in ("g++", "c++", "clang++"):
+        tmp = None
         try:
             # build to a temp name, atomic rename (parallel-safe)
             fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
@@ -48,10 +49,11 @@ def _build() -> str | None:
             os.replace(tmp, out)
             return out
         except (OSError, subprocess.SubprocessError):
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
+            if tmp is not None:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
             continue
     return None
 

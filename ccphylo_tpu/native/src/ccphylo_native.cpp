@@ -98,7 +98,10 @@ int64_t phy_body(const uint8_t *data, int64_t len, int64_t *pos,
             if (c == sep || c == '\n') break;
         }
         raw_lens[i] = p - start;
-        int64_t stop = p - 1;  // exclude terminator
+        // the terminator joins the name (loadPhy copies it before the
+        // isspace chomp, phy.c:409-435): a '\n' or tab chomps away, a
+        // non-whitespace separator stays — matching C and Python
+        int64_t stop = p;
         while (stop > start) {
             uint8_t b = data[stop - 1];
             if (b == ' ' || b == '\t' || b == '\n' || b == '\r' ||
@@ -179,6 +182,9 @@ int64_t fmt_cells(const double *vals, int64_t count, int32_t precision,
     int64_t w = 0;
     for (int64_t k = 0; k < count; ++k) {
         double d = vals[k];
+        // non-finite cells go back to the Python path, which raises
+        // the same OverflowError/ValueError either way
+        if (!std::isfinite(d)) return -2;
         if (w + 32 + precision + 320 > cap) return -1;
         char *dst = (char *)out + w;
         // Python: d == int(d) and abs(d) < 2**63 -> "\t%d" % int(d)
@@ -221,14 +227,16 @@ int64_t mat_rows(const uint8_t *data, int64_t len, int64_t *pos,
             // skip rest of the ref field
             while (p < len && data[p] != '\t' && data[p] != '\n') ++p;
         }
-        // exactly the first 6 numeric fields count (Python parts[1:7])
+        // exactly fields 1..6 count, positionally (Python parts[1:7]);
+        // an empty field is an error (int(b'') raises in the fallback)
         int64_t vals[6];
         int nv = 0;
         int64_t total = 0;
-        while (p < len && data[p] != '\n' && nv < 6) {
-            if (data[p] == '\t') { ++p; continue; }
+        while (nv < 6) {
+            if (p >= len || data[p] != '\t') return -1;
+            ++p;  // consume the field separator
             bool neg = false;
-            if (data[p] == '-') {
+            if (p < len && data[p] == '-') {
                 neg = true;
                 ++p;
             }

@@ -31,14 +31,16 @@ TI = 128   # sample rows per tile
 WB = 512   # u32 words per tile (8192 bases)
 
 
-def _expand_kernel_shared(seq_ref, pm_ref, x_ref, m_ref):
+def _expand_kernel_shared(seq_ref, pm_ref, x_ref):
+    # no M output: under a shared mask the include plane is identical
+    # for every sample, so npos comes from a popcount of the mask
+    # words instead of an (n, 16W) buffer of duplicate rows
     w = seq_ref[:]                                  # (TI, WB) uint32
     pm = jnp.broadcast_to(pm_ref[:], w.shape)       # shared mask row
     for k in range(16):
         sh = jnp.uint32(30 - 2 * k)
         b = (w >> sh) & jnp.uint32(3)
         inc = (pm >> sh) & jnp.uint32(1)
-        m_ref[:, k * WB:(k + 1) * WB] = inc.astype(jnp.int8)
         for c in range(4):
             x_ref[:, (k * 4 + c) * WB:(k * 4 + c + 1) * WB] = \
                 ((b == c) & (inc == 1)).astype(jnp.int8)
@@ -68,40 +70,42 @@ def _expand(seqs, masks, pairwise: bool):
     n, W = seqs.shape
     assert n % TI == 0 and W % WB == 0, (n, W)
     grid = (n // TI, W // WB)
+    seq_spec = pl.BlockSpec((TI, WB), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((TI, 64 * WB), lambda i, j: (i, j),
+                          memory_space=pltpu.VMEM)
+    # non-TPU backends run the kernel in the Pallas interpreter (used
+    # by the CPU test suite; production CPU paths use ops/snp_jax or
+    # ops/snp instead)
+    interp = not available()
     if pairwise:
-        kern = _expand_kernel_pairwise
-        pm_spec = pl.BlockSpec((TI, WB), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM)
-        m_rows = n
-    else:
-        kern = _expand_kernel_shared
-        pm_spec = pl.BlockSpec((1, WB), lambda i, j: (0, j),
-                               memory_space=pltpu.VMEM)
-        m_rows = n  # shared mask replicated per row (row 0 is used)
-    X, M = pl.pallas_call(
-        kern,
+        X, M = pl.pallas_call(
+            _expand_kernel_pairwise,
+            grid=grid,
+            in_specs=[seq_spec,
+                      pl.BlockSpec((TI, WB), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[x_spec,
+                       pl.BlockSpec((TI, 16 * WB), lambda i, j: (i, j),
+                                    memory_space=pltpu.VMEM)],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, 64 * W), jnp.int8),
+                jax.ShapeDtypeStruct((n, 16 * W), jnp.int8),
+            ],
+            interpret=interp,
+        )(seqs, masks)
+        return X, M
+    X = pl.pallas_call(
+        _expand_kernel_shared,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((TI, WB), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pm_spec,
-        ],
-        out_specs=[
-            pl.BlockSpec((TI, 64 * WB), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TI, 16 * WB), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n, 64 * W), jnp.int8),
-            jax.ShapeDtypeStruct((m_rows, 16 * W), jnp.int8),
-        ],
-        # non-TPU backends run the kernel in the Pallas interpreter
-        # (used by the CPU test suite; production CPU paths use
-        # ops/snp_jax or ops/snp instead)
-        interpret=not available(),
+        in_specs=[seq_spec,
+                  pl.BlockSpec((1, WB), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 64 * W), jnp.int8),
+        interpret=interp,
     )(seqs, masks)
-    return X, M
+    return X, None
 
 
 def _matmul_counts(X, Y):
@@ -135,9 +139,12 @@ def snp_matrix(seqs, paircmask, wchunk: int = 2048):
     def body(c, w):
         blk = jax.lax.dynamic_slice(seqs, (0, w * wchunk), (np_, wchunk))
         mblk = jax.lax.dynamic_slice(pm, (0, w * wchunk), (1, wchunk))
-        X, M = _expand(blk, mblk, pairwise=False)
+        X, _ = _expand(blk, mblk, pairwise=False)
+        # include bits live at even positions of the pair mask
+        npos_c = jax.lax.population_count(
+            mblk & jnp.uint32(0x55555555)).sum(dtype=jnp.int32)
         return (c[0] + _matmul_counts(X, X),
-                c[1] + M[0].astype(jnp.int32).sum(dtype=jnp.int32)), None
+                c[1] + npos_c.astype(jnp.int32)), None
 
     (matches, npos), _ = jax.lax.scan(
         body, (jnp.zeros((np_, np_), jnp.int32), jnp.int32(0)),

@@ -45,9 +45,11 @@ def maybe_init_distributed() -> bool:
             jax.distributed.initialize()  # cloud auto-detection
         else:
             return False
-    except RuntimeError:
-        # already initialized
-        pass
+    except RuntimeError as exc:
+        # only a repeated call is benign; a genuine init failure must
+        # not silently degrade an N-process job to N separate runs
+        if "already initialized" not in str(exc).lower():
+            raise
     return jax.process_count() > 1
 
 

@@ -172,3 +172,34 @@ def test_mat_rows_parity():
     a2 = kma._parse_rows(block2)
     b2 = py(block2)
     assert len(a2[0]) == len(b2[0]) == 500
+
+
+def test_nonwhitespace_separator_name_parity():
+    """A non-whitespace separator joins the name (loadPhy copies the
+    terminator before the isspace chomp, phy.c:409-435)."""
+    data = b"%10d\nA,\nB,1.5\nC,2.5,3.5\n" % 3
+    a = phylip.PhylipStream(data, sep=b",").load()
+    b = _python_stream(data, sep=b",").load()
+    names_a = [bytes(x) for x in a[2][:3]]
+    assert names_a == [bytes(x) for x in b[2][:3]]
+    assert names_a == [b"A,", b"B,", b"C,"]
+    np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_fmt_cells_nonfinite_falls_back():
+    """inf/nan cells raise identically with and without the native lib
+    (Python int(inf) raises OverflowError in the int-print check)."""
+    vals = np.array([1.0, np.inf])
+    with pytest.raises(OverflowError):
+        phylip._fmt_cells(vals, 9)
+    with pytest.raises(ValueError):
+        phylip._fmt_cells(np.array([np.nan]), 9)
+
+
+def test_mat_rows_empty_field_falls_back():
+    """An empty count field raises ValueError on both paths (int(b''))."""
+    from ccphylo_tpu.io import kma
+    block = b"C\t\t10\t0\t0\t0\t0\n"
+    assert kma._parse_rows_native(block) is None
+    with pytest.raises(ValueError):
+        kma._parse_rows(block)
