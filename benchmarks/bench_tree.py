@@ -23,10 +23,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def device_dnj(n: int, reps: int = 2) -> float:
+def device_dnj(n: int, reps: int = 2, quantized: str | None = None) -> float:
     import jax
     import jax.numpy as jnp
-    from ccphylo_tpu.tree.jax_engine import dnj_joins, _pad
+    from ccphylo_tpu.tree.jax_engine import dnj_joins, dnj_joins_q, _pad
 
     npad = _pad(n)
 
@@ -44,9 +44,23 @@ def device_dnj(n: int, reps: int = 2) -> float:
         D = jnp.where(idx[:, None] == idx[None, :], 0.0, D)
         return jnp.where(active[:, None] & active[None, :], D, -1.0)
 
+    qdt = {"u8": jnp.uint8, "u16": jnp.uint16}.get(quantized or "")
+    bs = 100.0 if quantized == "u8" else 25000.0
+
+    @jax.jit
+    def make_Dq(key):
+        D = make_D(key)
+        return jnp.floor(jnp.maximum(D, 0.0) * bs + 0.5).astype(qdt)
+
     def run(seed):
-        D = make_D(jax.random.PRNGKey(seed))
-        I, J, LI, LJ, dl = dnj_joins(D, jnp.int32(n), scan="batch")
+        if qdt is not None:
+            Dq = make_Dq(jax.random.PRNGKey(seed))
+            I, J, LI, LJ, dl = dnj_joins_q(
+                Dq, jnp.int32(n), jnp.asarray(bs, jnp.float32),
+                store_dtype=qdt)
+        else:
+            D = make_D(jax.random.PRNGKey(seed))
+            I, J, LI, LJ, dl = dnj_joins(D, jnp.int32(n), scan="batch")
         return int(I.sum())  # scalar fetch forces completion
 
     run(0)  # compile
@@ -83,14 +97,16 @@ def c_dnj(n: int, binary: str) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-n", type=int, default=4096)
+    ap.add_argument("--quantized", choices=["u8", "u16"], default=None)
     ap.add_argument("--with-c", default=None,
                     help="path to the reference ccphylo binary")
     args = ap.parse_args()
     n = args.n
 
-    t_dev = device_dnj(n)
+    t_dev = device_dnj(n, quantized=args.quantized)
     joins = n - 2
-    print(f"device dnj: n={n}  {t_dev:.3f}s  {joins / t_dev:,.0f} joins/s")
+    tag = f" [{args.quantized}]" if args.quantized else ""
+    print(f"device dnj{tag}: n={n}  {t_dev:.3f}s  {joins / t_dev:,.0f} joins/s")
     if args.with_c:
         t_c = c_dnj(n, args.with_c)
         print(f"C dnj:      n={n}  {t_c:.3f}s  {joins / t_c:,.0f} joins/s  "

@@ -213,16 +213,33 @@ def _dispatch_build(flat, n, names, method, flag, precision, dtype,
         maybe_init_distributed()
         return build_tree_sharded_dnj(flat, n, names, row_mesh(),
                                       flag=flag, precision=precision)
-    if eng in ("device", "device64") and method == "dnj" and dtype == "d":
+    if eng in ("device", "device64") and method == "dnj":
         import jax
         # the axon TPU plugin ignores JAX_PLATFORMS; honor it here
         plat = os.environ.get("JAX_PLATFORMS")
         if plat:
             jax.config.update("jax_platforms", plat)
         import jax.numpy as jnp
-        from ..tree.jax_engine import build_tree_jax
         if eng == "device64":
             jax.config.update("jax_enable_x64", True)
+        if dtype in ("s", "b"):
+            # quantized matrix storage on device (u16/u8 ByteScale,
+            # ~65k/~100k taxa on one 16 GB chip); complete matrices only
+            import numpy as _np
+            if (_np.asarray(flat) < 0).any():
+                return build_tree(flat, n, names, method, flag,
+                                  precision, dtype, bytescale)
+            from ..tree.jax_engine import build_tree_jax_q
+            return build_tree_jax_q(
+                flat, n, names, flag, precision, bytescale=bytescale,
+                store_dtype=jnp.uint16 if dtype == "s" else jnp.uint8,
+                compute_dtype=jnp.float64 if eng == "device64"
+                else jnp.float32)
+        if dtype != "d":
+            return build_tree(flat, n, names, method, flag, precision,
+                              dtype, bytescale)
+        from ..tree.jax_engine import build_tree_jax
+        if eng == "device64":
             jdt, scan = jnp.float64, "seq"
         else:
             jdt, scan = jnp.float32, "batch"

@@ -369,6 +369,293 @@ def dnj_joins(D, m, neg_limbs=False, scan="seq"):
     return I, J, LI, LJ, d_last
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("neg_limbs", "store_dtype",
+                                    "compute_dtype"),
+                   donate_argnums=(0,))
+def dnj_joins_q(Dq, m, bytescale, neg_limbs=False,
+                store_dtype=jnp.uint16, compute_dtype=jnp.float32):
+    """Quantized-storage DNJ: D lives on device as uint16/uint8 with
+    the reference's ByteScale quantization (bytescale.h:22-23), compute
+    in float32 — halves/quarters HBM per cell vs float32 state
+    (~65k/~100k taxa on one 16 GB chip).
+
+    Matrix must be complete (the reference's quantized modes cannot
+    represent missing cells either: dtouc of a negative wraps,
+    matrix.h:23-33 storage + bytescale.h macros).  Updates quantize
+    exactly like the C: the both-sides updateD path stores
+    trunc(d*scale + 0.25) (nj.c:905); sD bookkeeping uses the
+    *unquantized* update values (nj.c:907-911), later reads see the
+    quantized cells.  Scan semantics = scan="batch" of dnj_joins.
+    """
+    n = Dq.shape[0]
+    dtype = jnp.dtype(compute_dtype)
+    big = jnp.asarray(np.finfo(dtype).max, dtype)
+    idx = jnp.arange(n)
+    bs = jnp.asarray(bytescale, dtype)
+    inv = jnp.asarray(1.0, dtype) / bs
+    qmax = jnp.asarray(np.iinfo(np.dtype(store_dtype)).max, dtype)
+
+    def deq(q):
+        return q.astype(dtype) * inv
+
+    def quant(d, rnd):
+        # dtouc(d, rnd) = (uint)(d*ByteScale + rnd) — C float->uint
+        # truncation; clamp instead of wrapping (complete matrices
+        # with sane ByteScale never reach the cap)
+        return jnp.clip(jnp.floor(d * bs + rnd), 0, qmax) \
+            .astype(store_dtype)
+
+    def row_qc(Dq, sD, i, coef):
+        """Q over row i's partners k < i with an explicit coefficient
+        ((N_i + N_k - 4) >> 1 — pre-join: m_t - 2; after updateD's N
+        decrement: m_t - 3, matching updateDNJ, dnj.c:607+)."""
+        drow = deq(Dq[i])
+        q = coef * drow - sD[i] - sD
+        return jnp.where(idx < i, q, big)
+
+    def last_min(q):
+        mn = q.min()
+        return mn, jnp.where(q == mn, idx, -1).max().astype(jnp.int32)
+
+    # --- init (complete matrix: N_k = m for every row)
+    active0 = idx < m
+    CH = next(c for c in (512, 256, 128) if n % c == 0)
+    nch = n // CH
+    mt0 = jnp.asarray(m - 2, dtype)
+
+    def _sd_chunk(_, c):
+        Drows = deq(jax.lax.dynamic_slice(Dq, (c * CH, 0), (CH, n)))
+        v = active0[None, :] & (c * CH + jnp.arange(CH)[:, None]
+                                != idx[None, :])
+        # sequential accumulation order (initSummaD, nj.c:111-180)
+        return None, jnp.cumsum(jnp.where(v, Drows, 0),
+                                axis=1, dtype=dtype)[:, -1]
+
+    _, sD = jax.lax.scan(_sd_chunk, None, jnp.arange(nch))
+    sD = sD.reshape(n)
+
+    def _qp_chunk(_, c):
+        rows = c * CH + jnp.arange(CH)
+        Drows = deq(jax.lax.dynamic_slice(Dq, (c * CH, 0), (CH, n)))
+        lv = (active0[rows][:, None] & active0[None, :]
+              & (idx[None, :] < rows[:, None]))
+        Qm = jnp.where(lv, mt0 * Drows - sD[rows][:, None]
+                       - sD[None, :], big)
+        Qc = Qm.min(axis=1)
+        cand = lv & (Qm == Qc[:, None])
+        dmask = jnp.where(cand, Drows, big)
+        prefmin = jax.lax.cummin(dmask, axis=1)
+        sel = cand & (dmask == prefmin)
+        Pc = jnp.where(sel, idx[None, :], -1).max(axis=1) \
+            .astype(jnp.int32)
+        return None, (Qc, jnp.maximum(Pc, 0))
+
+    _, (Q, P) = jax.lax.scan(_qp_chunk, None, jnp.arange(nch))
+    Q = jnp.where(active0, Q.reshape(n), big)
+    P = P.reshape(n)
+
+    qrows = jnp.where((idx >= 1) & active0, Q, big)
+    mn0 = qrows.min()
+    seed0 = jnp.where(active0.sum() > 1,
+                      jnp.where(qrows == mn0, idx, -1).max(), 0) \
+        .astype(jnp.int32)
+
+    KB = 128
+
+    def one_join(t, carry):
+        Dq, sD, Q, P, seed, I, J, LI, LJ = carry
+        m_t = m - t
+        mt = jnp.asarray(m_t - 2, dtype)
+
+        seed_ok = (seed != 0) & (Q[seed] != big)
+        minv0 = jnp.where(seed_ok, Q[seed], big)
+        pi0 = jnp.where(seed_ok, seed, 0)
+        pj0 = jnp.where(seed_ok, P[seed], 0)
+
+        def cand_mask(Q, minv):
+            return (idx >= 1) & (idx < m_t) & (Q < minv)
+
+        def bcond(c):
+            return cand_mask(c[3], c[0]).any()
+
+        def bbody(c):
+            minv, pi, pj, Q, P = c
+            cm = cand_mask(Q, minv)
+            scores = jnp.where(cm, idx, -1)
+            rows, _ = jax.lax.top_k(scores, KB)
+            valid = rows >= 1
+            r = jnp.where(valid, rows, 0)
+            Drows = deq(Dq[r])
+            q = mt * Drows - sD[r][:, None] - sD[None, :]
+            ok = idx[None, :] < r[:, None]
+            q = jnp.where(ok, q, big)
+            rmin = q.min(axis=1)
+            rarg = jnp.where(q == rmin[:, None], idx[None, :], -1) \
+                .max(axis=1).astype(jnp.int32)
+            tgt = jnp.where(valid, rows, n)
+            Q = Q.at[tgt].set(jnp.where(valid, rmin, big), mode="drop")
+            P = P.at[tgt].set(jnp.where(valid, rarg, 0), mode="drop")
+            bvals = jnp.where(valid, rmin, big)
+            bmin = bvals.min()
+            bi = jnp.where(bvals == bmin, rows, -1).max() \
+                .astype(jnp.int32)
+            karg = jnp.where((bvals == bmin) & (rows == bi), rarg, 0) \
+                .max().astype(jnp.int32)
+            better = bmin < minv
+            return (jnp.where(better, bmin, minv),
+                    jnp.where(better, bi, pi),
+                    jnp.where(better, karg, pj), Q, P)
+
+        minv, pi, pj, Q, P = jax.lax.while_loop(
+            bcond, bbody, (minv0, pi0, pj0, Q, P))
+        hp = (pi != 0) | (pj != 0)
+        i, j = pi, pj
+
+        D_ij = deq(Dq[i, j])
+        Ni = jnp.asarray(m_t - 2, dtype)  # complete: N_k = m_t
+        delta = jnp.where(Ni > 0, (sD[i] - D_ij) / jnp.maximum(Ni, 1)
+                          - (sD[j] - D_ij) / jnp.maximum(Ni, 1), 0.0)
+        Li = jnp.where(Ni > 0, (D_ij + delta) / 2, D_ij / 2)
+        Lj = jnp.where(Ni > 0, (D_ij - delta) / 2, D_ij / 2)
+        if not neg_limbs:
+            Li_c = jnp.where(Li < 0, 0.0, jnp.where(Lj < 0, D_ij, Li))
+            Lj_c = jnp.where(Li < 0, D_ij, jnp.where(Lj < 0, 0.0, Lj))
+            Li, Lj = Li_c, Lj_c
+
+        # updateD, complete-matrix both-path only (nj.c:893-948)
+        active = idx < m_t
+        rowi = deq(Dq[i])
+        rowj = deq(Dq[j])
+        valid_k = active & (idx != i) & (idx != j) & hp
+        d_new = jnp.maximum((rowi + rowj - D_ij) / 2, 0.0)
+        sD = jnp.where(valid_k, sD - (rowi + rowj - d_new), sD)
+        sD = sD.at[j].set(jnp.where(
+            hp, jnp.cumsum(jnp.where(valid_k, d_new, 0),
+                           dtype=dtype)[-1], sD[j]))
+        q_new = quant(d_new, 0.25)
+        Dq = Dq.at[j, :].set(jnp.where(valid_k, q_new, Dq[j]))
+        Dq = Dq.at[:, j].set(jnp.where(valid_k, q_new, Dq[:, j]))
+
+        # cache repair for column j + fresh row j (reads see quantized;
+        # the repair coefficient uses the post-updateD N = m_t - 1, so
+        # (N_j + N_k - 4) >> 1 = m_t - 3)
+        mt_post = jnp.asarray(m_t - 3, dtype)
+        qj = row_qc(Dq, sD, j, mt_post)
+        Qj, Pj = last_min(qj)
+        Q = Q.at[j].set(jnp.where(hp, Qj, Q[j]))
+        P = P.at[j].set(jnp.where(hp, jnp.where(Qj == big, 0, Pj),
+                                  P[j]))
+        colj = deq(Dq[:, j])
+        qcol = mt_post * colj - sD[j] - sD
+        colk = valid_k & (idx > j)
+        upd = colk & (qcol <= Q)
+        Q = jnp.where(upd, qcol, Q)
+        P = jnp.where(upd, j, P)
+        mq = jnp.where(upd, qcol, big).min()
+        mi_cand = jnp.where(upd.any() & (mq <= Qj),
+                            jnp.where(upd & (qcol == mq), idx, -1).max(),
+                            j).astype(jnp.int32)
+
+        # popArrange: move last into slot i
+        m_new = m_t - 1
+        last = m_new
+        g = hp & (i != last)
+        moveq = Dq[last]
+        newrow_i = jnp.where(idx == i, jnp.asarray(0, store_dtype),
+                             moveq)
+        Dq = Dq.at[i, :].set(jnp.where(g, newrow_i, Dq[i]))
+        Dq = Dq.at[:, i].set(jnp.where(g, newrow_i, Dq[:, i]))
+        sD = sD.at[i].set(jnp.where(g, sD[last], sD[i]))
+        qi = row_qc(Dq, sD, i, mt_post)
+        Qi, Pi = last_min(qi)
+        Q = Q.at[i].set(jnp.where(g, Qi, Q[i]))
+        P = P.at[i].set(jnp.where(g, jnp.where(Qi == big, 0, Pi),
+                                  P[i]))
+        coli = deq(Dq[:, i])
+        qc = mt_post * coli - sD[i] - sD
+        ck = (idx > i) & (idx < last) & g
+        u2 = ck & (qc <= Q)
+        Q = jnp.where(u2, qc, Q)
+        P = jnp.where(u2, i, P)
+        mq2 = jnp.where(u2, qc, big).min()
+        p2 = jnp.where(u2.any() & (mq2 <= Qi),
+                       jnp.where(u2 & (qc == mq2), idx, -1).max(), i) \
+            .astype(jnp.int32)
+        mj_cand = jnp.where(g, p2, 0)
+        Q = Q.at[last].set(big)
+
+        seed_new = jnp.where(
+            mj_cand == m_new, mi_cand,
+            jnp.where(mi_cand == m_new, mj_cand,
+                      jnp.where((Q[mj_cand] < Q[mi_cand])
+                                | ((mi_cand < mj_cand)
+                                   & (Q[mj_cand] == Q[mi_cand])),
+                                mj_cand, mi_cand)))
+        seed = jnp.where(hp, seed_new, 0)
+
+        I = I.at[t].set(jnp.where(hp, i, 0))
+        J = J.at[t].set(jnp.where(hp, j, 0))
+        LI = LI.at[t].set(jnp.where(hp, Li, -1.0))
+        LJ = LJ.at[t].set(jnp.where(hp, Lj, -1.0))
+        return Dq, sD, Q, P, seed, I, J, LI, LJ
+
+    I = jnp.zeros(n, jnp.int32)
+    J = jnp.zeros(n, jnp.int32)
+    LI = jnp.zeros(n, dtype)
+    LJ = jnp.zeros(n, dtype)
+    Dq, sD, Q, P, _, I, J, LI, LJ = jax.lax.fori_loop(
+        0, jnp.maximum(m - 2, 0), one_join,
+        (Dq, sD, Q, P, seed0, I, J, LI, LJ))
+    return I, J, LI, LJ, deq(Dq[1, 0])
+
+
+def build_tree_jax_q(flat64: np.ndarray, n: int, names: list[Name],
+                     flag: int = 0, precision: int = 9,
+                     bytescale: float = 1.0,
+                     store_dtype=jnp.uint16,
+                     compute_dtype=jnp.float32) -> bytes:
+    """Device DNJ with quantized (u16/u8 ByteScale) matrix storage.
+
+    Loads quantize like loadPhy -s/-b (round 0.5, phy.c:473-475);
+    requires a complete matrix (no negative cells)."""
+    npad = _pad(n)
+    Dq = np.zeros((npad, npad), np.dtype(store_dtype))
+    iu = np.tril_indices(n, -1)
+    qv = np.floor(np.asarray(flat64, np.float64) * bytescale + 0.5)
+    qv = np.clip(qv, 0, np.iinfo(np.dtype(store_dtype)).max) \
+        .astype(np.dtype(store_dtype))
+    Dq[(iu[0], iu[1])] = qv
+    Dq[(iu[1], iu[0])] = qv
+    I, J, LI, LJ, d_last = dnj_joins_q(
+        jnp.asarray(Dq), jnp.int32(n),
+        jnp.asarray(bytescale, compute_dtype),
+        neg_limbs=bool(flag & 2), store_dtype=store_dtype,
+        compute_dtype=compute_dtype)
+    I = np.asarray(I)
+    J = np.asarray(J)
+    LI = np.asarray(LI, np.float64)
+    LJ = np.asarray(LJ, np.float64)
+    m = n
+    for t in range(max(n - 2, 0)):
+        i, j = int(I[t]), int(J[t])
+        if i == 0 and j == 0:
+            break
+        form_node(names[j], names[i], float(LJ[t]), float(LI[t]),
+                  precision)
+        m -= 1
+        names[i], names[m] = names[m], names[i]
+    last = form_last_bi_node if (flag & 1) else form_last_node
+    if m == 2:
+        last(names[0], names[1], float(np.asarray(d_last)), precision)
+    else:
+        while m > 1:
+            m -= 1
+            last(names[0], names[m], -1.0, precision)
+    byteshift_fix(names[0])
+    return names[0].data
+
+
 def build_tree_jax(flat64: np.ndarray, n: int, names: list[Name],
                    flag: int = 0, precision: int = 9,
                    dtype=jnp.float32, scan: str = "seq") -> bytes:

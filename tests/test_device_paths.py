@@ -73,3 +73,28 @@ def test_tree_device64_parity(tmp_path):
     host = _run(args, tmp_path)
     dev = _run(args, tmp_path, {"CCPHYLO_TPU_ENGINE": "device64"})
     assert dev == host
+
+
+def test_tree_device64_quantized_parity(tmp_path):
+    """-s (u16 ByteScale) through the CLI: quantized device storage +
+    f64 compute matches the host exact engine's bytes."""
+    import io
+
+    import numpy as np
+
+    from ccphylo_tpu.io.phylip import print_phy
+    from ccphylo_tpu.io.qseqs import Name
+
+    n = 90
+    rng = np.random.RandomState(7)
+    flat = rng.uniform(0.01, 60.0, n * (n - 1) // 2)
+    names = [Name(b"t%03d" % i, 32) for i in range(n)]
+    buf = io.BytesIO()
+    print_phy(buf, n, flat, names)
+    phy = tmp_path / "q.phy"
+    phy.write_bytes(buf.getvalue())
+
+    args = ["tree", "-m", "dnj", "-s", "1e3", "-i", str(phy)]
+    host = _run(args, tmp_path)
+    dev = _run(args, tmp_path, {"CCPHYLO_TPU_ENGINE": "device64"})
+    assert dev == host

@@ -178,3 +178,49 @@ def test_sharded_snp_matrix_8dev():
     pm = inc32_to_pairmask(inc)
     dev = sharded_snp_matrix(seqs32, pm, mesh)
     np.testing.assert_array_equal(dev, host)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_quantized_device_matches_exact_s(seed):
+    """u16 ByteScale storage + f64 compute reproduces the exact -s
+    engine's bytes (same quantization constants: load 0.5, update 0.25,
+    unquantized sD bookkeeping)."""
+    from ccphylo_tpu.tree.jax_engine import build_tree_jax_q
+    n = 60
+    rng = np.random.RandomState(seed)
+    flat = rng.uniform(0.01, 60.0, n * (n - 1) // 2)
+    bs = 1000.0
+    na = [Name(b"t%03d" % i, 32) for i in range(n)]
+    nb = [Name(b"t%03d" % i, 32) for i in range(n)]
+    exact = build_tree(flat.copy(), n, na, "dnj", dtype="s",
+                       bytescale=bs)
+    q = build_tree_jax_q(flat.copy(), n, nb, bytescale=bs,
+                         store_dtype=jnp.uint16,
+                         compute_dtype=jnp.float64)
+    assert q == exact
+
+
+def test_quantized_device_u8_matches_exact_b():
+    from ccphylo_tpu.tree.jax_engine import build_tree_jax_q
+    n = 48
+    rng = np.random.RandomState(11)
+    flat = rng.uniform(0.1, 12.0, n * (n - 1) // 2)
+    bs = 16.0
+    na = [Name(b"t%03d" % i, 32) for i in range(n)]
+    nb = [Name(b"t%03d" % i, 32) for i in range(n)]
+    exact = build_tree(flat.copy(), n, na, "dnj", dtype="b",
+                       bytescale=bs)
+    q = build_tree_jax_q(flat.copy(), n, nb, bytescale=bs,
+                         store_dtype=jnp.uint8,
+                         compute_dtype=jnp.float64)
+    assert q == exact
+
+
+def test_quantized_device_f32_runs():
+    from ccphylo_tpu.tree.jax_engine import build_tree_jax_q
+    n = 100
+    rng = np.random.RandomState(2)
+    flat = rng.uniform(0.01, 60.0, n * (n - 1) // 2)
+    nb = [Name(b"t%03d" % i, 32) for i in range(n)]
+    t = build_tree_jax_q(flat, n, nb, bytescale=1000.0)
+    assert t.count(b",") == n - 1 and t.startswith(b"(")
