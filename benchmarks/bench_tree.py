@@ -30,10 +30,10 @@ def device_dnj(n: int, reps: int = 2, quantized: str | None = None) -> float:
 
     npad = _pad(n)
 
-    @jax.jit
     def make_D(key):
-        # symmetric-by-construction from 1-D embeddings (one matrix
-        # materialization — n=32768 f32 is 4.3 GB, so no transposes)
+        # symmetric-by-construction from 1-D embeddings; NOT jitted on
+        # its own: callers jit it so the f32 intermediate fuses into
+        # their output instead of materializing (17 GB at n=65536)
         x = jax.random.uniform(key, (npad,), jnp.float32, 0.0, 1.0)
         y = jax.random.uniform(jax.random.fold_in(key, 1), (npad,),
                                jnp.float32, 0.0, 1.0)
@@ -52,14 +52,16 @@ def device_dnj(n: int, reps: int = 2, quantized: str | None = None) -> float:
         D = make_D(key)
         return jnp.floor(jnp.maximum(D, 0.0) * bs + 0.5).astype(qdt)
 
+    make_Df = jax.jit(make_D)
+
     def run(seed):
         if qdt is not None:
             Dq = make_Dq(jax.random.PRNGKey(seed))
-            I, J, LI, LJ, dl = dnj_joins_q(
+            I, J, LI, LJ, dl, _ = dnj_joins_q(
                 Dq, jnp.int32(n), jnp.asarray(bs, jnp.float32),
                 store_dtype=qdt)
         else:
-            D = make_D(jax.random.PRNGKey(seed))
+            D = make_Df(jax.random.PRNGKey(seed))
             I, J, LI, LJ, dl = dnj_joins(D, jnp.int32(n), scan="batch")
         return int(I.sum())  # scalar fetch forces completion
 

@@ -607,7 +607,10 @@ def dnj_joins_q(Dq, m, bytescale, neg_limbs=False,
     Dq, sD, Q, P, _, I, J, LI, LJ = jax.lax.fori_loop(
         0, jnp.maximum(m - 2, 0), one_join,
         (Dq, sD, Q, P, seed0, I, J, LI, LJ))
-    return I, J, LI, LJ, deq(Dq[1, 0])
+    # Dq is returned (and discarded by callers) so the donated input
+    # can alias an output — otherwise XLA keeps the 4 GB argument
+    # buffer alive for the whole program
+    return I, J, LI, LJ, deq(Dq[1, 0]), Dq
 
 
 def build_tree_jax_q(flat64: np.ndarray, n: int, names: list[Name],
@@ -627,7 +630,7 @@ def build_tree_jax_q(flat64: np.ndarray, n: int, names: list[Name],
         .astype(np.dtype(store_dtype))
     Dq[(iu[0], iu[1])] = qv
     Dq[(iu[1], iu[0])] = qv
-    I, J, LI, LJ, d_last = dnj_joins_q(
+    I, J, LI, LJ, d_last, _ = dnj_joins_q(
         jnp.asarray(Dq), jnp.int32(n),
         jnp.asarray(bytescale, compute_dtype),
         neg_limbs=bool(flag & 2), store_dtype=store_dtype,
