@@ -305,9 +305,10 @@ def main_dist(argv: list[str]) -> int:
 
     cfg = dict(flag=flag, norm=norm, min_depth=min_depth,
                min_length=min_length, min_cov=min_cov, proxi=proxi,
-               veccmp=veccmp, dtype=dtype, bytescale=bytescale,
-               precision=precision, incvariant=incvariant,
-               methfilename=methfilename, diffilename=diffilename,
+               veccmp=veccmp, method=method, dtype=dtype,
+               bytescale=bytescale, precision=precision,
+               incvariant=incvariant, methfilename=methfilename,
+               diffilename=diffilename,
                noutputfilename=noutputfilename, sep=sep)
 
     if addfilename and filenames:
@@ -391,6 +392,9 @@ def mat_pairwise_matrix(filenames, target, include, cfg):
     D = QuantCells(cfg["dtype"], cfg["bytescale"])
     N = QuantCells(cfg["dtype"], cfg["bytescale"])
     stripped = {}
+    # batched device path: only the default cos metric has a VPU kernel
+    device_pairs = ([] if _use_device() and cfg["method"] == "cos"
+                    else None)
 
     def load(i):
         tm = kma.load_mat_template(filenames[i], target)
@@ -440,27 +444,64 @@ def mat_pairwise_matrix(filenames, target, include, cfg):
             else:
                 mat1 = tm.stripped()
                 stripped[i] = mat1
-                for j in range(i):
-                    if not include[j]:
-                        continue
-                    mat2 = stripped[j]
-                    dist, rinc = cmp_mats(
-                        mat1.counts, mat1.totals, mat2.counts, mat2.totals,
-                        cfg["norm"], min_depth, min_length, min_cov,
-                        cfg["veccmp"])
-                    if dist == -2.0:
-                        print(f'Template ("{target.decode()}") did not '
-                              "exceed threshold for inclusion:\t"
-                              f"{filenames[j]}", file=sys.stderr)
-                        sys.exit(1)
-                    if dist == -1.0:
-                        print("No sufficient overlap between samples:\t"
-                              f"{filenames[i]}\t{filenames[j]}",
-                              file=sys.stderr)
-                    D.add(dist)
-                    N.add(rinc)
+                if device_pairs is None:
+                    for j in range(i):
+                        if not include[j]:
+                            continue
+                        mat2 = stripped[j]
+                        dist, rinc = cmp_mats(
+                            mat1.counts, mat1.totals, mat2.counts,
+                            mat2.totals, cfg["norm"], min_depth,
+                            min_length, min_cov, cfg["veccmp"])
+                        _emit_mat_pair(D, N, dist, rinc, target,
+                                       filenames, i, j)
+                else:
+                    device_pairs.append(i)
         i += 1
+
+    if device_pairs is not None:
+        # batched VPU kernel over all included pairs (opt-in; the
+        # float32 chunk sums differ from the C's sequential float64 by
+        # ulps — gates and rows_inc are integer-exact)
+        from ..ops.matdist_jax import cos_pair_table, cmp_mats_from_table
+        order = sorted(stripped)
+        pos_of = {s: a for a, s in enumerate(order)}
+        S, R = cos_pair_table([stripped[s].counts for s in order],
+                              [stripped[s].totals for s in order],
+                              min_depth)
+        nnucs = {s: stripped[s].n_nucs(min_depth) for s in order}
+        for i in device_pairs:
+            for j in range(i):
+                if not include[j]:
+                    continue
+                m1, m2 = stripped[i], stripped[j]
+                if m2.length > m1.length:
+                    # cmpMats' 'sample2 longer' sentinel: N = the total
+                    # of the first overflowing row (matcmp.c:469-471)
+                    dist, rinc = -1.0, int(m2.totals[m1.length])
+                else:
+                    dist, rinc = cmp_mats_from_table(
+                        S, R, pos_of[i], pos_of[j], m1.length,
+                        m2.length, nnucs[j], cfg["norm"], min_depth,
+                        min_length, min_cov)
+                _emit_mat_pair(D, N, dist, rinc, target, filenames,
+                               i, j)
     return D, N, include
+
+
+def _emit_mat_pair(D, N, dist, rinc, target, filenames, i, j):
+    """Shared sentinel/message handling for one .mat pair
+    (ltdmatrixthrd.c result handling)."""
+    if dist == -2.0:
+        print(f'Template ("{target.decode()}") did not '
+              "exceed threshold for inclusion:\t"
+              f"{filenames[j]}", file=sys.stderr)
+        sys.exit(1)
+    if dist == -1.0:
+        print("No sufficient overlap between samples:\t"
+              f"{filenames[i]}\t{filenames[j]}", file=sys.stderr)
+    D.add(dist)
+    N.add(rinc)
 
 
 def _fsa_load_samples(filenames, target, include, cfg, union_mode=False):

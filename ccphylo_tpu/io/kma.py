@@ -127,7 +127,8 @@ def _mat_cache_budget() -> int:
 
 
 def _mat_file_index(filename: str):
-    """(data, {template_name: (start, end)}) for a .mat file, cached."""
+    """(data, {template_name: (start, end)}, stable_key|None) for a
+    .mat file, cached per (path, mtime, size)."""
     import os
     budget = _mat_cache_budget()
     try:
@@ -138,20 +139,21 @@ def _mat_file_index(filename: str):
     if key is not None and key in _mat_cache:
         ent = _mat_cache.pop(key)
         _mat_cache[key] = ent  # LRU refresh
-        return ent
+        return ent + (key,)
     data = fileio.read_bytes(filename)
     index = {}
     for name, span in _iter_mat_template_spans(data):
         index.setdefault(name, span)
     ent = (data, index)
-    if key is not None and budget > 0 and len(data) <= budget:
+    cached = key is not None and budget > 0 and len(data) <= budget
+    if cached:
         _mat_cache[key] = ent
         total = sum(len(d) for d, _ in _mat_cache.values())
         while total > budget and len(_mat_cache) > 1:
             oldest = next(iter(_mat_cache))  # dicts keep insert order
             d, _ = _mat_cache.pop(oldest)
             total -= len(d)
-    return ent
+    return ent + (key if cached else None,)
 
 
 def _iter_mat_template_spans(data: bytes):
@@ -172,13 +174,31 @@ def _iter_mat_template_spans(data: bytes):
         pos = end
 
 
+_parsed_cache: dict = {}
+_PARSED_CACHE_MAX = 512  # parsed templates (arrays are shared, not copied)
+
+
 def load_mat_template(filename: str, target: bytes) -> MatTemplate | None:
-    """Find one template in a (gzipped) KMA .mat file and parse it."""
-    data, index = _mat_file_index(filename)
+    """Find one template in a (gzipped) KMA .mat file and parse it.
+
+    Parsed templates are memoized (the reference re-streams the file
+    per pair, ltdmatrix.c:85-105, because it keeps only one sample in
+    memory; callers here receive shared arrays and must not mutate)."""
+    data, index, fkey = _mat_file_index(filename)
     span = index.get(target)
     if span is None:
         return None
-    refs, counts, totals = _parse_rows(data[span[0]:span[1]])
+    if fkey is None:
+        refs, counts, totals = _parse_rows(data[span[0]:span[1]])
+        return MatTemplate(target, refs, counts, totals)
+    key = (fkey, target)
+    hit = _parsed_cache.get(key)
+    if hit is None:
+        hit = _parse_rows(data[span[0]:span[1]])
+        if len(_parsed_cache) >= _PARSED_CACHE_MAX:
+            _parsed_cache.pop(next(iter(_parsed_cache)))
+        _parsed_cache[key] = hit
+    refs, counts, totals = hit
     return MatTemplate(target, refs, counts, totals)
 
 

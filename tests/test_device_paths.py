@@ -98,3 +98,41 @@ def test_tree_device64_quantized_parity(tmp_path):
     host = _run(args, tmp_path)
     dev = _run(args, tmp_path, {"CCPHYLO_TPU_ENGINE": "device64"})
     assert dev == host
+
+
+def test_dist_mat_device_kernel(kma_dir, tmp_path):
+    """The .mat device path (cos VPU kernel) matches the host engine:
+    integer outputs (.num and integer D cells) byte-identical; float
+    cells within the documented f32-sum tolerance."""
+    import glob
+    import os
+    mats = sorted(os.path.basename(p)
+                  for p in glob.glob(str(kma_dir / "*.mat.gz")))
+    args = ["dist", "-r", "tpl1", "-f", "1", "-i"] + mats
+    host = _run(args, kma_dir)
+    dev = _run(args, kma_dir, {"CCPHYLO_TPU_DIST": "device"})
+
+    def parse(out):
+        rows = []
+        for line in out.split(b"\n")[1:]:
+            if line:
+                rows.extend(float(x) for x in line.split(b"\t")[1:])
+        return rows
+
+    h, d = parse(host), parse(dev)
+    assert len(h) == len(d) and len(h) > 0
+    for a, b in zip(h, d):
+        assert a == b or abs(a - b) <= 2e-5 * max(abs(a), 1.0), (a, b)
+
+
+def test_dist_mat_device_num_matrix_exact(kma_dir, tmp_path):
+    import glob
+    import os
+    mats = sorted(os.path.basename(p)
+                  for p in glob.glob(str(kma_dir / "*.mat.gz")))
+    nh, nd = tmp_path / "h.num", tmp_path / "d.num"
+    args = ["dist", "-r", "tpl1", "-f", "1", "-i"] + mats
+    _run(args + ["-n", str(nh), "-o", os.devnull], kma_dir)
+    _run(args + ["-n", str(nd), "-o", os.devnull], kma_dir,
+         {"CCPHYLO_TPU_DIST": "device"})
+    assert nh.read_bytes() == nd.read_bytes()
