@@ -203,16 +203,27 @@ def _dispatch_build(flat, n, names, method, flag, precision, dtype,
                  on TPU f64 emulation ulps can still flip ties)
     """
     eng = os.environ.get("CCPHYLO_TPU_ENGINE", "exact")
-    if eng == "sharded" and method == "dnj" and dtype == "d":
+    if eng == "sharded" and method in ("dnj", "nj", "upgma") \
+            and dtype == "d":
         import jax
         plat = os.environ.get("JAX_PLATFORMS")
         if plat:
             jax.config.update("jax_platforms", plat)
         from ..parallel.multihost import maybe_init_distributed, row_mesh
-        from ..parallel.sharded_dnj import build_tree_sharded_dnj
         maybe_init_distributed()
-        return build_tree_sharded_dnj(flat, n, names, row_mesh(),
-                                      flag=flag, precision=precision)
+        mesh = row_mesh()
+        if method == "dnj":
+            from ..parallel.sharded_dnj import build_tree_sharded_dnj
+            return build_tree_sharded_dnj(flat, n, names, mesh,
+                                          flag=flag, precision=precision)
+        import numpy as _np
+        from ..parallel.sharded_nj import build_tree_sharded
+        D = _np.zeros((n, n), _np.float64)
+        iu = _np.tril_indices(n, -1)
+        D[(iu[0], iu[1])] = flat
+        D[(iu[1], iu[0])] = flat
+        return build_tree_sharded(D, n, names, mesh, method=method,
+                                  flag=flag, precision=precision)
     if eng in ("device", "device64") and method == "dnj":
         import jax
         # the axon TPU plugin ignores JAX_PLATFORMS; honor it here
