@@ -463,6 +463,8 @@ def mat_pairwise_matrix(filenames, target, include, cfg):
         # batched VPU kernel over all included pairs (opt-in; the
         # float32 chunk sums differ from the C's sequential float64 by
         # ulps — gates and rows_inc are integer-exact)
+        from ..utils.jaxconfig import configure_jax
+        configure_jax()
         from ..ops.matdist_jax import cos_pair_table, cmp_mats_from_table
         order = sorted(stripped)
         pos_of = {s: a for a, s in enumerate(order)}
@@ -505,7 +507,13 @@ def _emit_mat_pair(D, N, dist, rinc, target, filenames, i, j):
 
 
 def _fsa_load_samples(filenames, target, include, cfg, union_mode=False):
-    """ltdFsaMatrix_get's load/mask phase (cdist.c:36-168)."""
+    """ltdFsaMatrix_get's load/mask phase (cdist.c:36-168).
+
+    Decompress + translate + 2-bit pack run per-sample in a thread
+    pool (zlib/numpy release the GIL); the mask derivation stays
+    sequential — get_inc_pos's insignificance clears mutate the shared
+    reference codes, so mask order is semantically load order
+    (fsacmp.c:202-206)."""
     flag = cfg["flag"]
     pair = bool(flag & 2)
     trans = pack2bit.get_2bit_table(flag)
@@ -519,14 +527,32 @@ def _fsa_load_samples(filenames, target, include, cfg, union_mode=False):
     seqs = [None] * len(filenames)
     includes = [None] * len(filenames)
     shared_inc = None
+
+    def _prefetch(fn):
+        data = fileio.read_bytes(fn)
+        if data[:1] != b">":
+            return "notfasta", None, None, None
+        seq = kma.load_fasta_seq(data, target, trans)
+        if seq is None:
+            return "missing", None, None, None
+        packed, ns = pack2bit.pack_2bit(seq)
+        return "ok", seq, packed, ns
+
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=min(32, os.cpu_count() or 1))
+    futs = {i: pool.submit(_prefetch, filenames[i])
+            for i in range(len(filenames)) if include[i]}
+    pool.shutdown(wait=False)
+
     for i, fn in enumerate(filenames):
         if not include[i]:
             continue
-        data = fileio.read_bytes(fn)
-        if data[:1] != b">":
+        status, seq, packed_pre, ns_pre = futs[i].result()
+        if status == "notfasta":
             print(f'"{fn}" is not fasta.', file=sys.stderr)
             sys.exit(1)
-        seq = kma.load_fasta_seq(data, target, trans)
+        if status == "missing":
+            seq = None
         if seq is None:
             print(f'Missing template entry ("{target.decode()}") in '
                   f"file:\t{fn}", file=sys.stderr)
@@ -538,7 +564,7 @@ def _fsa_load_samples(filenames, target, include, cfg, union_mode=False):
                 sys.exit(1)
             if pair:
                 inc = pack2bit.init_inc_pos(length)
-                packed, _ = pack2bit.pack_2bit(seq)
+                packed = packed_pre
                 pack2bit.mask_motifs(packed, inc, length, motifs)
                 pack2bit.get_inc_pos(inc, seq, seq, cfg["proxi"],
                                      cfg["incvariant"])
@@ -553,7 +579,7 @@ def _fsa_load_samples(filenames, target, include, cfg, union_mode=False):
                     seqs[i] = packed
                     includes[i] = inc
             else:
-                packed, ns = pack2bit.pack_2bit(seq)
+                packed, ns = packed_pre, ns_pre
                 n_inc = length - ns
                 if n_inc < min_length:
                     print(f"# Excluded:\t{fn}\t( {n_inc} / {length} )",
@@ -571,7 +597,7 @@ def _fsa_load_samples(filenames, target, include, cfg, union_mode=False):
             if min_length < min_cov_len(cfg["min_cov"], length):
                 min_length = min_cov_len(cfg["min_cov"], length)
             inc = pack2bit.init_inc_pos(length)
-            packed, _ = pack2bit.pack_2bit(seq)
+            packed = packed_pre
             pack2bit.mask_motifs(packed, inc, length, motifs)
             pack2bit.get_inc_pos(inc, seq, seq, cfg["proxi"],
                                  cfg["incvariant"])
@@ -687,6 +713,8 @@ def _batch_shared(seqs, idxs, shared_inc):
         return bc.fill(lambda si, sj:
                        snp.cross_block(S[si], S[sj], shared_inc))
     if _use_device():
+        from ..utils.jaxconfig import configure_jax
+        configure_jax()
         from ..ops import snp_jax, snp_pallas
         s32 = np.stack([snp_jax.u64_to_u32(seqs[i]) for i in idxs])
         pm = snp_jax.inc32_to_pairmask(shared_inc)
@@ -698,6 +726,8 @@ def _batch_shared(seqs, idxs, shared_inc):
 def _batch_pairwise(seqs, includes, idxs):
     """All-pairs (dist, shared) with per-sample masks (proxi == 0)."""
     if _use_device():
+        from ..utils.jaxconfig import configure_jax
+        configure_jax()
         from ..ops import snp_jax, snp_pallas
         s32 = np.stack([snp_jax.u64_to_u32(seqs[i]) for i in idxs])
         masks = np.stack([snp_jax.inc32_to_pairmask(includes[i])

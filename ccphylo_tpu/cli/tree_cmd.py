@@ -205,10 +205,8 @@ def _dispatch_build(flat, n, names, method, flag, precision, dtype,
     eng = os.environ.get("CCPHYLO_TPU_ENGINE", "exact")
     if eng == "sharded" and method in ("dnj", "nj", "upgma") \
             and dtype == "d":
-        import jax
-        plat = os.environ.get("JAX_PLATFORMS")
-        if plat:
-            jax.config.update("jax_platforms", plat)
+        from ..utils.jaxconfig import configure_jax
+        configure_jax()
         from ..parallel.multihost import maybe_init_distributed, row_mesh
         maybe_init_distributed()
         mesh = row_mesh()
@@ -225,11 +223,8 @@ def _dispatch_build(flat, n, names, method, flag, precision, dtype,
         return build_tree_sharded(D, n, names, mesh, method=method,
                                   flag=flag, precision=precision)
     if eng in ("device", "device64") and method == "dnj":
-        import jax
-        # the axon TPU plugin ignores JAX_PLATFORMS; honor it here
-        plat = os.environ.get("JAX_PLATFORMS")
-        if plat:
-            jax.config.update("jax_platforms", plat)
+        from ..utils.jaxconfig import configure_jax
+        jax = configure_jax()
         import jax.numpy as jnp
         if eng == "device64":
             jax.config.update("jax_enable_x64", True)

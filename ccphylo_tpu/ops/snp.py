@@ -144,7 +144,8 @@ def pairwise_masked(seqs: np.ndarray, incs: np.ndarray):
     n = seqs.shape[0]
     Dm = np.zeros((n, n), np.int64)
     Nm = np.zeros((n, n), np.int64)
-    for i in range(1, n):
+
+    def fill(i):
         pinc = incs[:i] & incs[i]
         x = seqs[:i] ^ seqs[i]
         d = (x | (x >> U64(1))) & PAIR_LO
@@ -154,6 +155,8 @@ def pairwise_masked(seqs: np.ndarray, incs: np.ndarray):
         Dm[:i, i] = cnt
         Nm[i, :i] = nsh
         Nm[:i, i] = nsh
+
+    _row_parallel(fill, n)
     return Dm, Nm
 
 
@@ -182,10 +185,28 @@ def pairwise_shared(seqs: np.ndarray, inc: np.ndarray) -> np.ndarray:
     n = seqs.shape[0]
     e = expand_bits(inc)
     D = np.zeros((n, n), np.int64)
-    for i in range(1, n):
+
+    def fill(i):
         x = seqs[:i] ^ seqs[i]
         d = (x | (x >> U64(1))) & PAIR_LO
         cnt = np.bitwise_count(d & e).sum(axis=1)
         D[i, :i] = cnt
         D[:i, i] = cnt
+
+    _row_parallel(fill, n)
     return D
+
+
+def _row_parallel(fill, n: int) -> None:
+    """Run fill(i) for i in 1..n-1, threaded for large n — the numpy
+    bitwise kernels release the GIL and rows write disjoint slices, so
+    results are deterministic (this replaces the reference's spinlock
+    work cursor, fsacmpthrd.c:183-256)."""
+    import os
+    if n <= 64:
+        for i in range(1, n):
+            fill(i)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(min(32, os.cpu_count() or 1)) as pool:
+        list(pool.map(fill, range(1, n)))
