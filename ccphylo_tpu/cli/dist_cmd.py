@@ -392,9 +392,12 @@ def mat_pairwise_matrix(filenames, target, include, cfg):
     D = QuantCells(cfg["dtype"], cfg["bytescale"])
     N = QuantCells(cfg["dtype"], cfg["bytescale"])
     stripped = {}
-    # batched device path: only the default cos metric has a VPU kernel
-    device_pairs = ([] if _use_device() and cfg["method"] == "cos"
-                    else None)
+    # batched device path for metrics with a VPU kernel
+    device_pairs = None
+    if _use_device():
+        from ..ops.matdist_jax import METRICS as _DEV_METRICS
+        if cfg["method"] in _DEV_METRICS:
+            device_pairs = []
 
     def load(i):
         tm = kma.load_mat_template(filenames[i], target)
@@ -465,12 +468,13 @@ def mat_pairwise_matrix(filenames, target, include, cfg):
         # ulps — gates and rows_inc are integer-exact)
         from ..utils.jaxconfig import configure_jax
         configure_jax()
-        from ..ops.matdist_jax import cos_pair_table, cmp_mats_from_table
+        from ..ops.matdist_jax import pair_table, cmp_mats_from_table
         order = sorted(stripped)
         pos_of = {s: a for a, s in enumerate(order)}
-        S, R = cos_pair_table([stripped[s].counts for s in order],
-                              [stripped[s].totals for s in order],
-                              min_depth)
+        S, R = pair_table(cfg["method"],
+                          [stripped[s].counts for s in order],
+                          [stripped[s].totals for s in order],
+                          min_depth)
         nnucs = {s: stripped[s].n_nucs(min_depth) for s in order}
         for i in device_pairs:
             for j in range(i):

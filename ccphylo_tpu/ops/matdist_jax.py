@@ -38,36 +38,176 @@ import jax.numpy as jnp
 PCHUNK = 8192  # positions per streamed chunk (~10 MB at k=100)
 
 
-@functools.partial(jax.jit, static_argnames=("min_depth",))
-def _cos_chunk(counts, totals, plens, min_depth):
+# --- per-position metric kernels --------------------------------------------
+# Each takes per-pair channel slices a, b: (..., 5) float32 (exact for
+# counts < 2^24) and totals t1, t2: (...) float32, and returns
+# (vals (...), valid (...)) — valid False where the host metric yields
+# -1 or NaN (exclusion from rows_inc; the conditions below are
+# integer-exact).  Citations are the matching matcmp.c metrics.
+
+
+def _frac(a, t, nn):
+    # normalized fractions over tot - N (matcmp.c _norm idiom)
+    tt = t - nn
+    return a / tt[..., None], tt
+
+
+def _m_cos(a, b, t1, t2, n1, n2):
+    d = (a * b).sum(-1)
+    q1 = (a * a).sum(-1)
+    q2 = (b * b).sum(-1)
+    rs1 = jax.lax.rsqrt(jnp.where(q1 > 0, q1, 1.0))
+    rs2 = jax.lax.rsqrt(jnp.where(q2 > 0, q2, 1.0))
+    res = jnp.maximum(1.0 - d * rs1 * rs2, 0.0)
+    return res, (q1 > 0) & (q2 > 0)
+
+
+def _m_l1(a, b, t1, t2, n1, n2):
+    return jnp.abs(a - b).sum(-1), jnp.full(a.shape[:-1], True)
+
+
+def _m_l2(a, b, t1, t2, n1, n2):
+    return jnp.sqrt(((a - b) ** 2).sum(-1)), jnp.full(a.shape[:-1], True)
+
+
+def _m_linf(a, b, t1, t2, n1, n2):
+    return jnp.abs(a - b).max(-1), jnp.full(a.shape[:-1], True)
+
+
+def _m_chi2(a, b, t1, t2, n1, n2):
+    T = a - b
+    s = a + b
+    terms = jnp.where(T != 0, T * T / jnp.where(s > 0, s, 1.0), 0.0)
+    return jnp.sqrt(terms.sum(-1)), jnp.full(a.shape[:-1], True)
+
+
+def _m_c(a, b, t1, t2, n1, n2):
+    lo = jnp.minimum(a, b).sum(-1)
+    hi = jnp.maximum(a, b).sum(-1)
+    d = jnp.maximum(1.0 - lo / jnp.where(hi > 0, hi, 1.0), 0.0)
+    return d, hi > 0
+
+
+def _m_bc(a, b, t1, t2, n1, n2):
+    lo = jnp.minimum(a, b).sum(-1)
+    den = (t1 - n1) + (t2 - n2)
+    d = jnp.maximum(1.0 - 2.0 * lo / jnp.where(den > 0, den, 1.0), 0.0)
+    return d, den > 0
+
+
+def _m_nl1(a, b, t1, t2, n1, n2):
+    f1, tt1 = _frac(a, t1, n1)
+    f2, tt2 = _frac(b, t2, n2)
+    return (jnp.abs(f1 - f2).sum(-1),
+            (tt1 > 0) & (tt2 > 0))
+
+
+def _m_nl2(a, b, t1, t2, n1, n2):
+    f1, tt1 = _frac(a, t1, n1)
+    f2, tt2 = _frac(b, t2, n2)
+    return (jnp.sqrt(((f1 - f2) ** 2).sum(-1)),
+            (tt1 > 0) & (tt2 > 0))
+
+
+def _m_nlinf(a, b, t1, t2, n1, n2):
+    # the reference re-reads column 0 every iteration (matcmp.c:135)
+    f1, tt1 = _frac(a, t1, n1)
+    f2, tt2 = _frac(b, t2, n2)
+    return (jnp.abs(f1[..., 0] - f2[..., 0]),
+            (tt1 > 0) & (tt2 > 0))
+
+
+def _m_nbc(a, b, t1, t2, n1, n2):
+    f1, tt1 = _frac(a, t1, n1)
+    f2, tt2 = _frac(b, t2, n2)
+    d = jnp.maximum(1.0 - jnp.minimum(f1, f2).sum(-1), 0.0)
+    return d, (tt1 > 0) & (tt2 > 0)
+
+
+def _m_nchi2(a, b, t1, t2, n1, n2):
+    f1, tt1 = _frac(a, t1, n1)
+    f2, tt2 = _frac(b, t2, n2)
+    diff = f1 - f2
+    s = f1 + f2
+    terms = jnp.where(diff != 0, diff * diff / jnp.where(s > 0, s, 1.0),
+                      0.0)
+    return jnp.sqrt(terms.sum(-1)), (tt1 > 0) & (tt2 > 0)
+
+
+def _m_nc(a, b, t1, t2, n1, n2):
+    # nccmp's T resets per iteration: denominator is 1 + max-frac of
+    # the LAST column (matcmp.c:267)
+    f1, tt1 = _frac(a, t1, n1)
+    f2, tt2 = _frac(b, t2, n2)
+    lo = jnp.minimum(f1, f2).sum(-1)
+    T = 1.0 + jnp.maximum(f1[..., 4], f2[..., 4])
+    return (jnp.maximum(1.0 - lo / T, 0.0),
+            (tt1 > 0) & (tt2 > 0))
+
+
+METRICS = {
+    "cos": _m_cos, "l1": _m_l1, "l2": _m_l2, "linf": _m_linf,
+    "chi2": _m_chi2, "c": _m_c, "bc": _m_bc, "nl1": _m_nl1,
+    "nl2": _m_nl2, "nlinf": _m_nlinf, "nbc": _m_nbc,
+    "nchi2": _m_nchi2, "nc": _m_nc,
+}
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("metric", "min_depth", "bi"))
+def _metric_chunk(counts, totals, plens, metric, min_depth, bi):
     """One position chunk: counts (k, P, 6) int32, totals (k, P) int32,
     plens (k,) int32 = remaining valid positions per sample.
 
-    Returns (sums (k, k) f32, incs (k, k) int32) for this chunk, over
-    pairs gated per position on depth/zero-vector/length."""
+    Returns (sums (k, k) f32, incs (k, k) int32): per-pair masked sums
+    of the metric over this chunk.  Pairs are gated per position on
+    depth, per-sample length, and the metric's own exclusion.  The i
+    axis is processed `bi` rows at a time so the explicit (bi, k, P, 5)
+    pair differences stay bounded."""
+    fn = METRICS[metric]
     k, P, _ = counts.shape
-    a = counts[:, :, :5].astype(jnp.float32)        # (k, P, 5)
-    q = (a * a).sum(axis=2)                          # (k, P)
-    nz = (counts[:, :, :5] > 0).any(axis=2)          # exact zero gate
+    a_all = counts[:, :, :5].astype(jnp.float32)     # exact < 2^24
+    t_all = totals.astype(jnp.float32)
+    n_all = counts[:, :, 5].astype(jnp.float32)
     pos = jnp.arange(P, dtype=jnp.int32)
     inlen = pos[None, :] < plens[:, None]
-    deep = (totals >= min_depth) & inlen
-    okv = deep & nz                                   # per-sample gate
+    deep = (totals >= min_depth) & inlen             # (k, P)
 
-    # d(i,j,p) = sum_c a(i,p,c) * a(j,p,c): batched matmul over p
-    d = jnp.einsum("ipc,jpc->ijp", a, a,
-                   preferred_element_type=jnp.float32)
-    rs = jax.lax.rsqrt(jnp.where(q > 0, q, 1.0))
-    res = 1.0 - d * rs[:, None, :] * rs[None, :, :]
-    res = jnp.maximum(res, 0.0)
-    use = okv[:, None, :] & okv[None, :, :]
-    sums = jnp.where(use, res, 0.0).sum(axis=2)
-    incs = use.sum(axis=2, dtype=jnp.int32)
-    return sums, incs
+    nb = -(-k // bi)
+    kpad = nb * bi
+    # pad the ROW views so every i-block is full height; column views
+    # stay at k (padded rows' gates are all-False, results dropped)
+    a_rows = jnp.pad(a_all, ((0, kpad - k), (0, 0), (0, 0)))
+    t_rows = jnp.pad(t_all, ((0, kpad - k), (0, 0)))
+    n_rows = jnp.pad(n_all, ((0, kpad - k), (0, 0)))
+    deep_rows = jnp.pad(deep, ((0, kpad - k), (0, 0)))
+
+    def body(ib, acc):
+        sums, incs = acc
+        i0 = ib * bi
+        a = jax.lax.dynamic_slice(a_rows, (i0, 0, 0), (bi, P, 5))
+        t1 = jax.lax.dynamic_slice(t_rows, (i0, 0), (bi, P))
+        n1 = jax.lax.dynamic_slice(n_rows, (i0, 0), (bi, P))
+        d1 = jax.lax.dynamic_slice(deep_rows, (i0, 0), (bi, P))
+        vals, valid = fn(a[:, None], a_all[None, :],
+                         t1[:, None], t_all[None, :],
+                         n1[:, None], n_all[None, :])   # (bi, k, P)
+        use = d1[:, None, :] & deep[None, :, :] & valid
+        s = jnp.where(use, vals, 0.0).sum(axis=2)
+        r = use.sum(axis=2, dtype=jnp.int32)
+        sums = jax.lax.dynamic_update_slice(sums, s, (i0, 0))
+        incs = jax.lax.dynamic_update_slice(incs, r, (i0, 0))
+        return sums, incs
+
+    sums0 = jnp.zeros((kpad, k), jnp.float32)
+    incs0 = jnp.zeros((kpad, k), jnp.int32)
+    sums, incs = jax.lax.fori_loop(0, nb, body, (sums0, incs0))
+    return sums[:k], incs[:k]
 
 
-def cos_pair_table(counts_list, totals_list, min_depth: int):
-    """All-pairs (sum, rows_inc) over stripped samples.
+def pair_table(metric: str, counts_list, totals_list, min_depth: int):
+    """All-pairs (sum, rows_inc) over stripped samples for a metric in
+    METRICS.
 
     counts_list[i]: (L_i, 6) uint16; totals_list[i]: (L_i,) int64.
     Positions beyond min(L_i, L_j) are excluded per pair (cmpMats
@@ -79,6 +219,8 @@ def cos_pair_table(counts_list, totals_list, min_depth: int):
     Lmax = int(lens.max()) if k else 0
     S = np.zeros((k, k), np.float64)
     R = np.zeros((k, k), np.int64)
+    # block height: keep the (bi, k, P, 5) f32 diff tensor ~256 MB
+    bi = max(1, min(k, (256 << 20) // max(1, k * PCHUNK * 5 * 4)))
     for p0 in range(0, Lmax, PCHUNK):
         P = min(PCHUNK, Lmax - p0)
         cc = np.zeros((k, P, 6), np.int32)
@@ -89,11 +231,15 @@ def cos_pair_table(counts_list, totals_list, min_depth: int):
                 cc[i, :hi - p0] = counts_list[i][p0:hi]
                 tt[i, :hi - p0] = totals_list[i][p0:hi]
         plens = np.clip(lens - p0, 0, P).astype(np.int32)
-        s, r = _cos_chunk(jnp.asarray(cc), jnp.asarray(tt),
-                          jnp.asarray(plens), min_depth)
+        s, r = _metric_chunk(jnp.asarray(cc), jnp.asarray(tt),
+                             jnp.asarray(plens), metric, min_depth, bi)
         S += np.asarray(s, np.float64)
         R += np.asarray(r, np.int64)
     return S, R
+
+
+def cos_pair_table(counts_list, totals_list, min_depth: int):
+    return pair_table("cos", counts_list, totals_list, min_depth)
 
 
 def cmp_mats_from_table(S, R, i, j, len_i, len_j, n_nucs_j, norm,
