@@ -62,7 +62,7 @@ def device_dnj(n: int, reps: int = 2, quantized: str | None = None) -> float:
                 store_dtype=qdt)
         else:
             D = make_Df(jax.random.PRNGKey(seed))
-            I, J, LI, LJ, dl = dnj_joins(D, jnp.int32(n), scan="batch")
+            I, J, LI, LJ, dl, _ = dnj_joins(D, jnp.int32(n), scan="batch")
         return int(I.sum())  # scalar fetch forces completion
 
     run(0)  # compile

@@ -366,7 +366,10 @@ def dnj_joins(D, m, neg_limbs=False, scan="seq"):
         0, jnp.maximum(m - 2, 0), one_join,
         (D, sD, N, Q, P, seed0, I, J, LI, LJ))
     d_last = D[1, 0]
-    return I, J, LI, LJ, d_last
+    # D is returned (and discarded by callers) so the donated input can
+    # alias an output — otherwise XLA keeps the full argument buffer
+    # alive beside the loop temp (2x matrix HBM)
+    return I, J, LI, LJ, d_last, D
 
 
 @functools.partial(jax.jit,
@@ -669,10 +672,10 @@ def build_tree_jax(flat64: np.ndarray, n: int, names: list[Name],
     D[(iu[0], iu[1])] = flat64
     D[(iu[1], iu[0])] = flat64
     np.fill_diagonal(D[:n, :n], 0.0)
-    I, J, LI, LJ, d_last = dnj_joins(jnp.asarray(D, dtype),
-                                     jnp.int32(n),
-                                     neg_limbs=bool(flag & 2),
-                                     scan=scan)
+    I, J, LI, LJ, d_last, _ = dnj_joins(jnp.asarray(D, dtype),
+                                        jnp.int32(n),
+                                        neg_limbs=bool(flag & 2),
+                                        scan=scan)
     I = np.asarray(I)
     J = np.asarray(J)
     LI = np.asarray(LI, np.float64)

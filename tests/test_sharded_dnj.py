@@ -56,7 +56,7 @@ def test_sharded_matches_batch_engine(n, ndev, seed):
     npad = _pad(n)
     Dp = np.full((npad, npad), -1.0, np.float64)
     Dp[:n, :n] = D
-    I2, J2, LI2, LJ2, dl2 = (np.asarray(x) for x in dnj_joins(
+    I2, J2, LI2, LJ2, dl2, _ = (np.asarray(x) for x in dnj_joins(
         jnp.asarray(Dp, jnp.float64), jnp.int32(n), scan="batch"))
 
     np.testing.assert_array_equal(I[:n - 2], I2[:n - 2])
@@ -91,7 +91,7 @@ def test_sharded_missing_data(seed=7, n=48):
     npad = _pad(n)
     Dp = np.full((npad, npad), -1.0, np.float64)
     Dp[:n, :n] = D
-    I2, J2, LI2, LJ2, dl2 = (np.asarray(x) for x in dnj_joins(
+    I2, J2, LI2, LJ2, dl2, _ = (np.asarray(x) for x in dnj_joins(
         jnp.asarray(Dp, jnp.float64), jnp.int32(n), scan="batch"))
     np.testing.assert_array_equal(I[:n - 2], I2[:n - 2])
     np.testing.assert_array_equal(J[:n - 2], J2[:n - 2])
