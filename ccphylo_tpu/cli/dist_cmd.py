@@ -543,15 +543,30 @@ def _fsa_load_samples(filenames, target, include, cfg, union_mode=False):
         return "ok", seq, packed, ns
 
     from concurrent.futures import ThreadPoolExecutor
-    pool = ThreadPoolExecutor(max_workers=min(32, os.cpu_count() or 1))
-    futs = {i: pool.submit(_prefetch, filenames[i])
-            for i in range(len(filenames)) if include[i]}
-    pool.shutdown(wait=False)
+    pool = ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 1))
+    inc_order = [i for i in range(len(filenames)) if include[i]]
+    # bounded window: peak RSS stays O(window * sample), and an error
+    # exit waits on at most `window` queued loads
+    window = 64
+    futs: dict = {}
+    submitted = 0
+
+    def _fill_window(consumed: int):
+        nonlocal submitted
+        while submitted < len(inc_order) and submitted < consumed + window:
+            k = inc_order[submitted]
+            futs[k] = pool.submit(_prefetch, filenames[k])
+            submitted += 1
+
+    _fill_window(0)
+    consumed_n = 0
 
     for i, fn in enumerate(filenames):
         if not include[i]:
             continue
-        status, seq, packed_pre, ns_pre = futs[i].result()
+        status, seq, packed_pre, ns_pre = futs.pop(i).result()
+        consumed_n += 1
+        _fill_window(consumed_n)
         if status == "notfasta":
             print(f'"{fn}" is not fasta.', file=sys.stderr)
             sys.exit(1)
@@ -618,6 +633,7 @@ def _fsa_load_samples(filenames, target, include, cfg, union_mode=False):
                 if not pair:
                     shared_inc = inc
                 ref = seq
+    pool.shutdown(wait=False)
     return seqs, includes, shared_inc, length, min_length, include
 
 

@@ -215,6 +215,11 @@ def _dispatch_build(flat, n, names, method, flag, precision, dtype,
             return build_tree_sharded_dnj(flat, n, names, mesh,
                                           flag=flag, precision=precision)
         import numpy as _np
+        if (_np.asarray(flat) < 0).any():
+            # the sharded nj/upgma engine assumes complete matrices
+            # (no D >= 0 masking); missing cells go to the host engine
+            return build_tree(flat, n, names, method, flag, precision,
+                              dtype, bytescale)
         from ..parallel.sharded_nj import build_tree_sharded
         D = _np.zeros((n, n), _np.float64)
         iu = _np.tril_indices(n, -1)

@@ -175,7 +175,15 @@ def _iter_mat_template_spans(data: bytes):
 
 
 _parsed_cache: dict = {}
-_PARSED_CACHE_MAX = 512  # parsed templates (arrays are shared, not copied)
+
+
+def _parsed_cache_evict(budget: int) -> None:
+    total = sum(e[1].nbytes + e[2].nbytes + e[0].nbytes
+                for e in _parsed_cache.values())
+    while total > budget and _parsed_cache:
+        oldest = next(iter(_parsed_cache))
+        e = _parsed_cache.pop(oldest)
+        total -= e[1].nbytes + e[2].nbytes + e[0].nbytes
 
 
 def load_mat_template(filename: str, target: bytes) -> MatTemplate | None:
@@ -192,12 +200,11 @@ def load_mat_template(filename: str, target: bytes) -> MatTemplate | None:
         refs, counts, totals = _parse_rows(data[span[0]:span[1]])
         return MatTemplate(target, refs, counts, totals)
     key = (fkey, target)
-    hit = _parsed_cache.get(key)
+    hit = _parsed_cache.pop(key, None)
     if hit is None:
         hit = _parse_rows(data[span[0]:span[1]])
-        if len(_parsed_cache) >= _PARSED_CACHE_MAX:
-            _parsed_cache.pop(next(iter(_parsed_cache)))
-        _parsed_cache[key] = hit
+    _parsed_cache[key] = hit  # (re)insert = LRU refresh
+    _parsed_cache_evict(_mat_cache_budget())
     refs, counts, totals = hit
     return MatTemplate(target, refs, counts, totals)
 

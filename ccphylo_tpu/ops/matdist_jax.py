@@ -163,7 +163,12 @@ def _metric_chunk(counts, totals, plens, metric, min_depth, bi):
     of the metric over this chunk.  Pairs are gated per position on
     depth, per-sample length, and the metric's own exclusion.  The i
     axis is processed `bi` rows at a time so the explicit (bi, k, P, 5)
-    pair differences stay bounded."""
+    pair differences stay bounded.
+
+    The full ordered table is computed although callers read only the
+    strict lower triangle — a deliberate 2x FLOP trade for a single
+    static-shape dispatch per chunk (triangle-only blocks would need
+    per-block column extents and recompilation)."""
     fn = METRICS[metric]
     k, P, _ = counts.shape
     a_all = counts[:, :, :5].astype(jnp.float32)     # exact < 2^24

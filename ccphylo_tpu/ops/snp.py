@@ -5,9 +5,10 @@ Parity sources:
   fsacmp.c:646-737 (fsacmprint / fsacmpairint — per-SNP diff listing),
   fsacmp.c:487-503 (getNpos), fsacmp.c:355-485 (maskProxi).
 
-The bit-serial C loops become XOR + pair-OR + popcount vector ops; this
-is also the shape of the TPU Pallas kernel (ops/snp_tpu.py), which tiles
-the same masks/popcounts over the MXU-adjacent vector units.
+The bit-serial C loops become XOR + pair-OR + popcount vector ops.  The
+TPU path reformulates the same counts as one-hot int8 Gram matmuls
+(ops/snp_jax.py, with the Pallas expansion kernel in
+ops/snp_pallas.py); results are integer-identical.
 """
 
 from __future__ import annotations
@@ -142,19 +143,23 @@ def pairwise_masked(seqs: np.ndarray, incs: np.ndarray):
     seqs: (n, W64) u64; incs: (n, W32) u32.  Returns (D, N) int64.
     """
     n = seqs.shape[0]
+    W = seqs.shape[1]
     Dm = np.zeros((n, n), np.int64)
     Nm = np.zeros((n, n), np.int64)
+    jc = _col_chunk(W)
 
     def fill(i):
-        pinc = incs[:i] & incs[i]
-        x = seqs[:i] ^ seqs[i]
-        d = (x | (x >> U64(1))) & PAIR_LO
-        cnt = np.bitwise_count(d & expand_bits(pinc)).sum(axis=1)
-        nsh = np.bitwise_count(pinc).sum(axis=1)
-        Dm[i, :i] = cnt
-        Dm[:i, i] = cnt
-        Nm[i, :i] = nsh
-        Nm[:i, i] = nsh
+        for j0 in range(0, i, jc):
+            j1 = min(i, j0 + jc)
+            pinc = incs[j0:j1] & incs[i]
+            x = seqs[j0:j1] ^ seqs[i]
+            d = (x | (x >> U64(1))) & PAIR_LO
+            cnt = np.bitwise_count(d & expand_bits(pinc)).sum(axis=1)
+            nsh = np.bitwise_count(pinc).sum(axis=1)
+            Dm[i, j0:j1] = cnt
+            Dm[j0:j1, i] = cnt
+            Nm[i, j0:j1] = nsh
+            Nm[j0:j1, i] = nsh
 
     _row_parallel(fill, n)
     return Dm, Nm
@@ -183,18 +188,28 @@ def pairwise_shared(seqs: np.ndarray, inc: np.ndarray) -> np.ndarray:
     seqs: (n, W) u64; inc: (W,) u32.  Returns (n, n) int64 distances.
     """
     n = seqs.shape[0]
+    W = seqs.shape[1]
     e = expand_bits(inc)
     D = np.zeros((n, n), np.int64)
+    jc = _col_chunk(W)
 
     def fill(i):
-        x = seqs[:i] ^ seqs[i]
-        d = (x | (x >> U64(1))) & PAIR_LO
-        cnt = np.bitwise_count(d & e).sum(axis=1)
-        D[i, :i] = cnt
-        D[:i, i] = cnt
+        for j0 in range(0, i, jc):
+            j1 = min(i, j0 + jc)
+            x = seqs[j0:j1] ^ seqs[i]
+            d = (x | (x >> U64(1))) & PAIR_LO
+            cnt = np.bitwise_count(d & e).sum(axis=1)
+            D[i, j0:j1] = cnt
+            D[j0:j1, i] = cnt
 
     _row_parallel(fill, n)
     return D
+
+
+def _col_chunk(W: int) -> int:
+    """Rows per inner block so one task's temporaries stay ~128 MB
+    (several O(block*W) u64 arrays live at once)."""
+    return max(1, (16 << 20) // max(1, W))
 
 
 def _row_parallel(fill, n: int) -> None:
