@@ -250,12 +250,12 @@ def _dispatch_build(flat, n, names, method, flag, precision, dtype,
             return build_tree(flat, n, names, method, flag, precision,
                               dtype, bytescale)
         from ..tree.jax_engine import build_tree_jax
-        if eng == "device64":
-            jdt, scan = jnp.float64, "seq"
-        else:
-            jdt, scan = jnp.float32, "batch"
+        # the batch scan is trajectory-exact (ties included) since the
+        # prefix-min cache gating; f64 state makes it bit-exact vs the
+        # reference whenever the C's own f64 sums are reproduced
+        jdt = jnp.float64 if eng == "device64" else jnp.float32
         return build_tree_jax(flat, n, names, flag, precision, dtype=jdt,
-                              scan=scan)
+                              scan="batch")
     return build_tree(flat, n, names, method, flag, precision, dtype,
                       bytescale)
 

@@ -20,10 +20,11 @@ problem by construction), and every join runs as
      the updateDNJ cache-repair rules (`qcol <= Q` refresh + mi/mj
      seed chaining, dnj.c:607-975) follow the reference exactly.
 
-On distance matrices without exact Q ties (e.g. continuous data) the
-join records equal tree/jax_engine.py's scan="batch" engine on one
-device — the trajectory is device-count invariant; ties can resolve
-differently because the engines freshen different cache subsets.
+The join records equal tree/jax_engine.py's scan="batch" engine (and
+therefore the C reference's trajectory, ties included) for any device
+count: batches are selected in global descending row order via a
+shared row threshold, and the C's running-min gating threads across
+devices through the all-gathered batch minima (see bbody).
 
 Missing data (negative cells) follows nj.c:836-1044: per-pair N
 bookkeeping, one-sided update fallbacks, and the early stop when no
@@ -149,6 +150,20 @@ def _dnj_program(mesh: Mesh, axis: str, npad: int, n: int,
                 scores = jnp.where(cm, lidx, -1)
                 rows, _ = jax.lax.top_k(scores, KBATCH)  # local idx desc
                 valid = rows >= 0
+                # global-descending batch selection: agree on a row
+                # threshold T = max over devices of each device's
+                # KBATCH-th largest candidate row, and only process
+                # candidates >= T this pass.  Every row processed in
+                # pass p then globally precedes every row of pass p+1,
+                # so folding pass minima into minv keeps the running
+                # min in the C's exact descending visit order
+                # (dnj.c:43-128); without this, a later pass's rm seed
+                # would absorb minima of LOWER devices' rows that the C
+                # visits only afterwards.
+                kth = jnp.where(valid[KBATCH - 1],
+                                dev * R + rows[KBATCH - 1], -1)
+                thr = jax.lax.pmax(kth, axis)
+                valid = valid & (gi[jnp.where(valid, rows, 0)] >= thr)
                 r = jnp.where(valid, rows, 0)
                 Drows = Dl[r]                                  # (K, npad)
                 grow = gi[r]                                   # global
@@ -160,11 +175,6 @@ def _dnj_program(mesh: Mesh, axis: str, npad: int, n: int,
                 rmin = q.min(axis=1)
                 rarg = jnp.where(q == rmin[:, None], cols[None, :], -1) \
                     .max(axis=1).astype(jnp.int32)
-                tgt = jnp.where(valid, rows, R)
-                Ql = Ql.at[tgt].set(jnp.where(valid, rmin, big),
-                                    mode="drop")
-                Pl = Pl.at[tgt].set(jnp.where(valid, rarg, 0),
-                                    mode="drop")
                 # local best (value min, larger global row wins ties)
                 bvals = jnp.where(valid, rmin, big)
                 bmin = bvals.min()
@@ -175,6 +185,22 @@ def _dnj_program(mesh: Mesh, axis: str, npad: int, n: int,
                 cand = jnp.stack([bmin, bi.astype(dtype),
                                   bj.astype(dtype)])
                 cs = jax.lax.all_gather(cand, axis)           # (ndev, 3)
+                # C-exact cache gating (jax_engine.dnj_joins batch_scan)
+                # across the global descending sweep: every row of a
+                # higher device precedes this device's rows, so the rm
+                # seed is min(minv, higher devices' batch minima); a
+                # shifted cummin threads rm within the batch.
+                rm_seed = jnp.minimum(minv, jnp.where(
+                    jnp.arange(ndev) > dev, cs[:, 0], big).min())
+                rm = jax.lax.cummin(
+                    jnp.concatenate([rm_seed[None], bvals[:-1]]))
+                qold = Ql[jnp.where(valid, rows, 0)]
+                reval = valid & (qold < rm)
+                tgt = jnp.where(reval, rows, R)
+                Ql = Ql.at[tgt].set(jnp.where(reval, rmin, big),
+                                    mode="drop")
+                Pl = Pl.at[tgt].set(jnp.where(reval, rarg, 0),
+                                    mode="drop")
                 gmin = cs[:, 0].min()
                 gim = jnp.where(cs[:, 0] == gmin, cs[:, 1], -1.0).max()
                 gjm = jnp.where((cs[:, 0] == gmin) & (cs[:, 1] == gim),

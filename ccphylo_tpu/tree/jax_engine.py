@@ -54,13 +54,13 @@ def dnj_joins(D, m, neg_limbs=False, scan="seq"):
     dnj.c:1009).
 
     scan="seq" replicates minQpair's sequential descending row
-    revalidation cycle-for-cycle (trajectory-exact vs the C engine,
-    including every tie).  scan="batch" recomputes all candidate rows
-    (cached Q < running min) in fused (K, n) blocks — the TPU-native
-    formulation; it still revalidates exactly the rows whose cached
-    bound can matter and picks the true minimum pair, but because it
-    freshens rows the C would have skipped under its tightening bound,
-    later tie-breaks can resolve differently on tied data.
+    revalidation cycle-for-cycle.  scan="batch" recomputes candidate
+    rows (cached Q < running min) in fused (K, n) blocks — the
+    TPU-native formulation — and is ALSO trajectory-exact, ties
+    included: a shifted prefix-min recovers the C's running min at
+    every row visit, so exactly the rows minQpair would recompute get
+    fresh caches (see the gating comment in batch_scan), and batches
+    are taken in the C's descending row order.
     """
     n = D.shape[0]
     dtype = D.dtype
@@ -193,11 +193,23 @@ def dnj_joins(D, m, neg_limbs=False, scan="seq"):
             rmin = q.min(axis=1)
             rarg = jnp.where(q == rmin[:, None], idx[None, :], -1) \
                 .max(axis=1).astype(jnp.int32)
-            # scatter fresh caches (invalid lanes -> out-of-range drop)
-            tgt = jnp.where(valid, rows, n)
-            Q = Q.at[tgt].set(jnp.where(valid, rmin, big),
+            # C-exact cache gating: minQpair's descending sweep
+            # (dnj.c:43-128) recomputes row i iff its cached Q beats
+            # the running min rm at the visit.  Because a fresh row
+            # minimum can never be below its cached lower bound,
+            # min(rm, newQ[i]) is a no-op exactly when the C skips
+            # row i — so rm threads through skipped rows as a plain
+            # shifted prefix-min of (minv, fresh minima of larger
+            # rows), and the C's revalidated set is recovered in one
+            # fused pass.  Rows outside it keep their stale caches.
+            rminv = jnp.where(valid, rmin, big)
+            rm = jax.lax.cummin(
+                jnp.concatenate([minv[None], rminv[:-1]]))
+            reval = valid & (Q[r] < rm)
+            tgt = jnp.where(reval, rows, n)
+            Q = Q.at[tgt].set(jnp.where(reval, rmin, big),
                               mode="drop")
-            P = P.at[tgt].set(jnp.where(valid, rarg, 0), mode="drop")
+            P = P.at[tgt].set(jnp.where(reval, rarg, 0), mode="drop")
             # pair update: strict improvement, largest row wins a tie
             # (the C scan visits rows descending and requires newq <
             # running min, so the largest row locks an equal min first)
@@ -496,9 +508,14 @@ def dnj_joins_q(Dq, m, bytescale, neg_limbs=False,
             rmin = q.min(axis=1)
             rarg = jnp.where(q == rmin[:, None], idx[None, :], -1) \
                 .max(axis=1).astype(jnp.int32)
-            tgt = jnp.where(valid, rows, n)
-            Q = Q.at[tgt].set(jnp.where(valid, rmin, big), mode="drop")
-            P = P.at[tgt].set(jnp.where(valid, rarg, 0), mode="drop")
+            # C-exact cache gating (see dnj_joins batch_scan)
+            rminv = jnp.where(valid, rmin, big)
+            rm = jax.lax.cummin(
+                jnp.concatenate([minv[None], rminv[:-1]]))
+            reval = valid & (Q[r] < rm)
+            tgt = jnp.where(reval, rows, n)
+            Q = Q.at[tgt].set(jnp.where(reval, rmin, big), mode="drop")
+            P = P.at[tgt].set(jnp.where(reval, rarg, 0), mode="drop")
             bvals = jnp.where(valid, rmin, big)
             bmin = bvals.min()
             bi = jnp.where(bvals == bmin, rows, -1).max() \

@@ -218,9 +218,14 @@ def dnj_joins_packed(blocks, m, bytescale, neg_limbs=False,
             rmin = q.min(axis=1)
             rarg = jnp.where(q == rmin[:, None], idx[None, :], -1) \
                 .max(axis=1).astype(jnp.int32)
-            tgt = jnp.where(valid, rows, n)
-            Q = Q.at[tgt].set(jnp.where(valid, rmin, big), mode="drop")
-            P = P.at[tgt].set(jnp.where(valid, rarg, 0), mode="drop")
+            # C-exact cache gating (see jax_engine.dnj_joins batch_scan)
+            rminv = jnp.where(valid, rmin, big)
+            rm = jax.lax.cummin(
+                jnp.concatenate([minv[None], rminv[:-1]]))
+            reval = valid & (Q[r] < rm)
+            tgt = jnp.where(reval, rows, n)
+            Q = Q.at[tgt].set(jnp.where(reval, rmin, big), mode="drop")
+            P = P.at[tgt].set(jnp.where(reval, rarg, 0), mode="drop")
             bvals = jnp.where(valid, rmin, big)
             bmin = bvals.min()
             bi = jnp.where(bvals == bmin, rows, -1).max() \

@@ -74,17 +74,35 @@ def test_dnj_matches_exact_on_test_phy(test_phy):
     assert _canonical(jaxt) == _canonical(exact)
 
 
+@pytest.mark.parametrize("scan", ["seq", "batch"])
 @pytest.mark.parametrize("n", [5, 16, 33, 100, 183])
-def test_dnj_byte_exact_on_integer_matrices(n):
+def test_dnj_byte_exact_on_integer_matrices(n, scan):
     """Integer distances (the SNP pipeline's output) make every f64 sum
     exact, so the device engine's trajectory — including all tie-breaks —
-    must match the reference cell-for-cell."""
+    must match the reference cell-for-cell.  Both scan modes are
+    trajectory-exact: batch's prefix-min gating revalidates exactly the
+    rows minQpair would (dnj.c:43-128)."""
     rng = np.random.RandomState(n)
     flat = rng.randint(0, 500, n * (n - 1) // 2).astype(np.float64)
     names = [Name(b"t%03d" % i, 32) for i in range(n)]
     nb = [Name(nm.data, nm.cap) for nm in names]
     exact = build_tree(flat.copy(), n, names, "dnj")
-    jaxt = build_tree_jax(flat.copy(), n, nb, dtype=jnp.float64)
+    jaxt = build_tree_jax(flat.copy(), n, nb, dtype=jnp.float64,
+                          scan=scan)
+    assert jaxt == exact
+
+
+@pytest.mark.parametrize("scan", ["seq", "batch"])
+def test_dnj_tie_heavy_small_range(scan, n=160):
+    """Small integer range -> Q ties at nearly every join; the device
+    scans must still reproduce the C trajectory byte-for-byte."""
+    rng = np.random.RandomState(97)
+    flat = rng.randint(0, 25, n * (n - 1) // 2).astype(np.float64)
+    names = [Name(b"t%03d" % i, 32) for i in range(n)]
+    nb = [Name(nm.data, nm.cap) for nm in names]
+    exact = build_tree(flat.copy(), n, names, "dnj")
+    jaxt = build_tree_jax(flat.copy(), n, nb, dtype=jnp.float64,
+                          scan=scan)
     assert jaxt == exact
 
 

@@ -106,3 +106,43 @@ def test_device_count_invariance(n=80, seed=9):
         recs.append(sharded_dnj_records(D, n, mesh, dtype=jnp.float64))
     np.testing.assert_array_equal(recs[0][0], recs[1][0])
     np.testing.assert_array_equal(recs[0][1], recs[1][1])
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_sharded_tie_exact_integer(ndev, n=160, seed=41):
+    """Integer (tie-heavy) matrices: the sharded engine must reproduce
+    the host exact engine's trajectory byte-for-byte — the
+    global-descending batch threshold keeps the C's running-min gating
+    exact across devices (sharded_dnj.py bbody)."""
+    mesh = _mesh(ndev)
+    rng = np.random.RandomState(seed)
+    flat = rng.randint(0, 25, n * (n - 1) // 2).astype(np.float64)
+    names = [Name(b"t%03d" % i, 32) for i in range(n)]
+    nb = [Name(x.data, x.cap) for x in names]
+    exact = build_tree(flat.copy(), n, names, "dnj")
+    sharded = build_tree_sharded_dnj(flat.copy(), n, nb, mesh,
+                                     dtype=jnp.float64)
+    assert sharded == exact
+
+
+def test_sharded_tie_exact_multipass(n=144, seed=3):
+    """Force multi-pass revalidation (KBATCH=2) so joins where a
+    device's candidate set exceeds one batch exercise the cross-pass
+    ordering; the trajectory must stay C-exact."""
+    import ccphylo_tpu.parallel.sharded_dnj as sd
+    mesh = _mesh(8)
+    old = sd.KBATCH
+    sd._dnj_program.cache_clear()
+    sd.KBATCH = 2
+    try:
+        rng = np.random.RandomState(seed)
+        flat = rng.randint(0, 20, n * (n - 1) // 2).astype(np.float64)
+        names = [Name(b"t%03d" % i, 32) for i in range(n)]
+        nb = [Name(x.data, x.cap) for x in names]
+        exact = build_tree(flat.copy(), n, names, "dnj")
+        sharded = build_tree_sharded_dnj(flat.copy(), n, nb, mesh,
+                                         dtype=jnp.float64)
+        assert sharded == exact
+    finally:
+        sd.KBATCH = old
+        sd._dnj_program.cache_clear()
