@@ -12,6 +12,7 @@ Usage: python benchmarks/bench_tree.py [-n 4096] [--with-c /path/ccphylo]
 """
 
 import argparse
+import functools
 import io
 import os
 import subprocess
@@ -74,6 +75,66 @@ def device_dnj(n: int, reps: int = 2, quantized: str | None = None) -> float:
     return best
 
 
+def device_dnj_packed(n: int, nb: int = 8, reps: int = 2) -> float:
+    """u32-packed blocked u8 engine (the 100k-taxa single-chip path).
+
+    Blocks are generated on device, one (R, W) buffer at a time, in
+    512-row chunks (no full-matrix intermediate ever materializes; every
+    buffer stays far below the ~2 GiB runtime fault line)."""
+    import jax
+    import jax.numpy as jnp
+    from ccphylo_tpu.tree.packed_engine import (_pad_packed,
+                                                dnj_joins_packed)
+
+    npad = _pad_packed(n, nb)
+    R = npad // nb
+    W = npad // 4
+    bs = 100.0
+
+    def embed(key):
+        x = jax.random.uniform(key, (npad,), jnp.float32, 0.0, 1.0)
+        y = jax.random.uniform(jax.random.fold_in(key, 1), (npad,),
+                               jnp.float32, 0.0, 1.0)
+        return x, y
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def make_block(key, b):
+        x, y = embed(key)
+        CH = 512
+
+        def chunk(_, c):
+            rows = b * R + c * CH + jnp.arange(CH)
+            D = (jnp.abs(x[rows][:, None] - x[None, :])
+                 + jnp.abs(y[rows][:, None] - y[None, :]) + 0.01)
+            D = jnp.where(rows[:, None] == jnp.arange(npad)[None, :],
+                          0.0, D)
+            q = jnp.clip(jnp.floor(D * bs + 0.5), 0, 255) \
+                .astype(jnp.uint32)
+            r4 = q.reshape(CH, W, 4)
+            w = (r4[..., 0] | (r4[..., 1] << jnp.uint32(8))
+                 | (r4[..., 2] << jnp.uint32(16))
+                 | (r4[..., 3] << jnp.uint32(24)))
+            return None, w
+
+        _, ws = jax.lax.scan(chunk, None, jnp.arange(R // CH))
+        return ws.reshape(R, W)
+
+    def run(seed):
+        key = jax.random.PRNGKey(seed)
+        blocks = tuple(make_block(key, b) for b in range(nb))
+        I, J, LI, LJ, dl, _ = dnj_joins_packed(
+            blocks, jnp.int32(n), jnp.asarray(bs, jnp.float32))
+        return int(I.sum())  # scalar fetch forces completion
+
+    run(0)  # compile
+    best = float("inf")
+    for r in range(reps):
+        t0 = time.perf_counter()
+        run(r + 1)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def c_dnj(n: int, binary: str) -> float:
     from ccphylo_tpu.io.phylip import print_phy
     from ccphylo_tpu.io.qseqs import Name
@@ -100,14 +161,21 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-n", type=int, default=4096)
     ap.add_argument("--quantized", choices=["u8", "u16"], default=None)
+    ap.add_argument("--packed", action="store_true",
+                    help="u32-packed blocked u8 engine")
+    ap.add_argument("--blocks", type=int, default=8)
     ap.add_argument("--with-c", default=None,
                     help="path to the reference ccphylo binary")
     args = ap.parse_args()
     n = args.n
 
-    t_dev = device_dnj(n, quantized=args.quantized)
+    if args.packed:
+        t_dev = device_dnj_packed(n, nb=args.blocks)
+        tag = f" [packed u8 x{args.blocks}]"
+    else:
+        t_dev = device_dnj(n, quantized=args.quantized)
+        tag = f" [{args.quantized}]" if args.quantized else ""
     joins = n - 2
-    tag = f" [{args.quantized}]" if args.quantized else ""
     print(f"device dnj{tag}: n={n}  {t_dev:.3f}s  {joins / t_dev:,.0f} joins/s")
     if args.with_c:
         t_c = c_dnj(n, args.with_c)

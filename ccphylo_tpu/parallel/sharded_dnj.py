@@ -41,6 +41,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..io.qseqs import Name
+from ..ops.select import topk_mask_indices
 from ..tree.newick_build import (byteshift_fix, form_last_bi_node,
                                  form_last_node, form_node)
 
@@ -147,8 +148,7 @@ def _dnj_program(mesh: Mesh, axis: str, npad: int, n: int,
             def bbody(c):
                 minv, pi, pj, Ql, Pl = c
                 cm = cand_mask(Ql, minv)
-                scores = jnp.where(cm, lidx, -1)
-                rows, _ = jax.lax.top_k(scores, KBATCH)  # local idx desc
+                rows = topk_mask_indices(cm, lidx, KBATCH)  # local desc
                 valid = rows >= 0
                 # global-descending batch selection: agree on a row
                 # threshold T = max over devices of each device's

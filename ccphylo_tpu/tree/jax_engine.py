@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..io.qseqs import Name
+from ..ops.select import topk_mask_indices
 from .newick_build import form_node, form_last_node, form_last_bi_node, \
     byteshift_fix
 
@@ -181,8 +182,7 @@ def dnj_joins(D, m, neg_limbs=False, scan="seq"):
         def bbody(c):
             minv, pi, pj, Q, P = c
             cm = cand_mask(Q, minv)
-            scores = jnp.where(cm, idx, -1)
-            rows, _ = jax.lax.top_k(scores, KBATCH)  # descending indices
+            rows = topk_mask_indices(cm, idx, KBATCH)  # descending
             valid = rows >= 1
             r = jnp.where(valid, rows, 0)
             Drows = D[r]                                    # (K, n)
@@ -497,8 +497,7 @@ def dnj_joins_q(Dq, m, bytescale, neg_limbs=False,
         def bbody(c):
             minv, pi, pj, Q, P = c
             cm = cand_mask(Q, minv)
-            scores = jnp.where(cm, idx, -1)
-            rows, _ = jax.lax.top_k(scores, KB)
+            rows = topk_mask_indices(cm, idx, KB)
             valid = rows >= 1
             r = jnp.where(valid, rows, 0)
             Drows = deq(Dq[r])

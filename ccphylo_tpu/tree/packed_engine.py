@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..io.qseqs import Name
+from ..ops.select import topk_mask_indices
 from .newick_build import (byteshift_fix, form_last_bi_node,
                            form_last_node, form_node)
 
@@ -207,8 +208,7 @@ def dnj_joins_packed(blocks, m, bytescale, neg_limbs=False,
         def bbody(c):
             minv, pi, pj, Q, P = c
             cm = cand_mask(Q, minv)
-            scores = jnp.where(cm, idx, -1)
-            rows, _ = jax.lax.top_k(scores, KB)
+            rows = topk_mask_indices(cm, idx, KB)
             valid = rows >= 1
             r = jnp.where(valid, rows, 0)
             Drows = deq(_unpack_words(gather_rows(blocks, r)))
