@@ -6,11 +6,16 @@ Cycle-accurate DNJ (reference dnj.c:985-1052) on device:
   counts N, and the reference's asymmetric row caches — Q[i]/P[i] cover
   partners j < i only, exactly like the lower-triangular C engine
   (dnj.c:43-128).
-- the ENTIRE join loop is one device program (``lax.fori_loop`` over
-  joins).  Pair selection replicates minQpair's seeded descending scan
-  with strict-< tightening (a nested ``lax.while_loop`` revalidates only
-  the rows the C would); updateDNJ / DNJ_popArrange cache repair,
-  including their mi/mj candidate returns and the qPos seed chaining
+- the join loop runs as **host-dispatched device segments** (see
+  tree/segmenting.py): each segment is one `lax.fori_loop` over a slice
+  of the joins, all state stays on device and is donated between
+  segments, so the math is bit-identical to a single monolithic loop
+  while no single XLA execution outlives the axon runtime's watchdog
+  (the round-1/2 ">32k taxa" worker crashes).
+- pair selection replicates minQpair's seeded descending scan with
+  strict-< tightening (a nested ``lax.while_loop`` revalidates only the
+  rows the C would); updateDNJ / DNJ_popArrange cache repair, including
+  their mi/mj candidate returns and the qPos seed chaining
   (dnj.c:1009-1034), are masked O(n) vector ops with the reference's
   last-wins tie rules.
 - the host receives all (i, j, Li, Lj) join records in one transfer and
@@ -36,6 +41,7 @@ from ..io.qseqs import Name
 from ..ops.select import topk_mask_indices
 from .newick_build import form_node, form_last_node, form_last_bi_node, \
     byteshift_fix
+from .segmenting import run_segmented
 
 BIG = np.finfo(np.float64).max  # stands in for the reference's DBL_MAX
 
@@ -44,49 +50,29 @@ def _pad(n: int, mult: int = 128) -> int:
     return max(-(-n // mult) * mult, mult)
 
 
-@functools.partial(jax.jit, static_argnames=("neg_limbs", "scan"),
-                   donate_argnums=(0,))
-def dnj_joins(D, m, neg_limbs=False, scan="seq"):
-    """Run all m-2 DNJ joins on device.
-
-    D: (N, N) square distance matrix (missing < 0, diagonal 0), padded;
-    m: active count.  Returns (I, J, LI, LJ, d_last); records with
-    I == J == 0 mean "no joinable pair left" (missing-data early stop,
-    dnj.c:1009).
-
-    scan="seq" replicates minQpair's sequential descending row
-    revalidation cycle-for-cycle.  scan="batch" recomputes candidate
-    rows (cached Q < running min) in fused (K, n) blocks — the
-    TPU-native formulation — and is ALSO trajectory-exact, ties
-    included: a shifted prefix-min recovers the C's running min at
-    every row visit, so exactly the rows minQpair would recompute get
-    fresh caches (see the gating comment in batch_scan), and batches
-    are taken in the C's descending row order.
-    """
-    n = D.shape[0]
-    dtype = D.dtype
-    # the DBL_MAX analog in the state dtype (f32: FLT_MAX)
+def _common(n, dtype):
     big = jnp.asarray(np.finfo(np.dtype(dtype)).max, dtype)
     idx = jnp.arange(n)
+    return big, idx
 
-    def row_q(D, sD, N, i):
-        """Q over row i's smaller partners; +BIG where invalid."""
-        drow = D[i]
-        c = ((N[i] + N - 4) >> 1).astype(dtype)
-        q = c * drow - sD[i] - sD
-        ok = (idx < i) & (drow >= 0)
-        return jnp.where(ok, q, big)
 
-    def last_min(q):
-        """value + LAST index of the minimum (the `<=` scan rule)."""
-        mn = q.min()
-        return mn, jnp.where(q == mn, idx, -1).max().astype(jnp.int32)
+def _last_min(q, idx):
+    """value + LAST index of the minimum (the `<=` scan rule)."""
+    mn = q.min()
+    return mn, jnp.where(q == mn, idx, -1).max().astype(jnp.int32)
 
-    # --- init: sD, N (initSummaD) and row caches (initHNJ), computed
-    # in row chunks — full (n, n) intermediates (Qm, cummin masks)
-    # would triple peak HBM and OOM large runs
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _dnj_init(D, m):
+    """initSummaD + initHNJ + initial minQ seed (nj.c:111-180,
+    hclust.c:56-130,353-381).  Returns (D, sD, N, Q, P, seed); D passes
+    through so the donated input aliases an output."""
+    n = D.shape[0]
+    dtype = D.dtype
+    big, idx = _common(n, dtype)
     active0 = idx < m
-    # n is a multiple of 128 (_pad); pick the largest dividing chunk
+    # computed in row chunks — full (n, n) intermediates (Qm, cummin
+    # masks) would triple peak HBM and OOM large runs
     CH = next(c for c in (512, 256, 128) if n % c == 0)
     nch = n // CH
 
@@ -126,12 +112,26 @@ def dnj_joins(D, m, neg_limbs=False, scan="seq"):
     P = P.reshape(n)
     Q = jnp.where(active0, Q, big)
 
-    # initial seed: minQ over caches, `<=` last-wins (hclust.c:353-381)
     qrows = jnp.where((idx >= 1) & active0, Q, big)
     mn0 = qrows.min()
     seed0 = jnp.where(
         active0.sum() > 1,
         jnp.where(qrows == mn0, idx, -1).max(), 0).astype(jnp.int32)
+    return D, sD, N, Q, P, seed0
+
+
+def _mk_one_join(n, dtype, m, neg_limbs, scan):
+    """Build the traced one_join body for dnj segments; m is a traced
+    scalar closed over."""
+    big, idx = _common(n, dtype)
+
+    def row_q(D, sD, N, i):
+        """Q over row i's smaller partners; +BIG where invalid."""
+        drow = D[i]
+        c = ((N[i] + N - 4) >> 1).astype(dtype)
+        q = c * drow - sD[i] - sD
+        ok = (idx < i) & (drow >= 0)
+        return jnp.where(ok, q, big)
 
     KBATCH = 128  # rows revalidated per fused block in scan="batch"
 
@@ -148,7 +148,7 @@ def dnj_joins(D, m, neg_limbs=False, scan="seq"):
             def recompute(args):
                 i, minv, pi, pj, Q, P = args
                 q = row_q(D, sD, N, i)
-                newq, newp = last_min(q)
+                newq, newp = _last_min(q, idx)
                 Q = Q.at[i].set(newq)
                 P = P.at[i].set(newp)
                 better = newq < minv
@@ -302,7 +302,7 @@ def dnj_joins(D, m, neg_limbs=False, scan="seq"):
 
         # ---- updateDNJ cache repair + mi candidate (dnj.c:607-710)
         qj = row_q(D, sD, N, j)
-        Qj, Pj = last_min(qj)
+        Qj, Pj = _last_min(qj, idx)
         Q = Q.at[j].set(jnp.where(hp, Qj, Q[j]))
         P = P.at[j].set(jnp.where(
             hp, jnp.where(Qj == big, 0, Pj), P[j]))
@@ -334,7 +334,7 @@ def dnj_joins(D, m, neg_limbs=False, scan="seq"):
         N = N.at[i].set(jnp.where(g, N[last], N[i]))
         # row pass: Q[i] over partners < i from moved values
         qi = row_q(D, sD, N, i)
-        Qi, Pi = last_min(qi)
+        Qi, Pi = _last_min(qi, idx)
         Q = Q.at[i].set(jnp.where(g, Qi, Q[i]))
         P = P.at[i].set(jnp.where(
             g, jnp.where(Qi == big, 0, Pi), P[i]))
@@ -370,43 +370,64 @@ def dnj_joins(D, m, neg_limbs=False, scan="seq"):
         LJ = LJ.at[t].set(jnp.where(hp, Lj, -1.0))
         return D, sD, N, Q, P, seed, I, J, LI, LJ
 
+    return one_join
+
+
+@functools.partial(jax.jit, static_argnames=("neg_limbs", "scan"),
+                   donate_argnums=tuple(range(10)))
+def _dnj_segment(D, sD, N, Q, P, seed, I, J, LI, LJ, t0, t1, m,
+                 neg_limbs=False, scan="seq"):
+    """Joins [t0, t1) of the DNJ loop; all state donated so segments
+    alias in place.  t0/t1/m are traced scalars — one compile serves
+    every segment size."""
+    one_join = _mk_one_join(D.shape[0], D.dtype, m, neg_limbs, scan)
+    return jax.lax.fori_loop(t0, t1, one_join,
+                             (D, sD, N, Q, P, seed, I, J, LI, LJ))
+
+
+def dnj_joins(D, m, neg_limbs=False, scan="seq"):
+    """Run all m-2 DNJ joins on device (host-segmented dispatch).
+
+    D: (N, N) square distance matrix (missing < 0, diagonal 0), padded;
+    m: active count.  Returns (I, J, LI, LJ, d_last, D); records with
+    I == J == 0 mean "no joinable pair left" (missing-data early stop,
+    dnj.c:1009).  D is donated.
+
+    scan="seq" replicates minQpair's sequential descending row
+    revalidation cycle-for-cycle.  scan="batch" recomputes candidate
+    rows (cached Q < running min) in fused (K, n) blocks — the
+    TPU-native formulation — and is ALSO trajectory-exact, ties
+    included: a shifted prefix-min recovers the C's running min at
+    every row visit, so exactly the rows minQpair would recompute get
+    fresh caches (see the gating comment in batch_scan), and batches
+    are taken in the C's descending row order.
+    """
+    n = D.shape[0]
+    dtype = D.dtype
+    m_host = int(m)
+    mj = jnp.int32(m_host)
+    D, sD, N, Q, P, seed = _dnj_init(D, mj)
     I = jnp.zeros(n, jnp.int32)
     J = jnp.zeros(n, jnp.int32)
     LI = jnp.zeros(n, dtype)
     LJ = jnp.zeros(n, dtype)
-    D, sD, N, Q, P, _, I, J, LI, LJ = jax.lax.fori_loop(
-        0, jnp.maximum(m - 2, 0), one_join,
-        (D, sD, N, Q, P, seed0, I, J, LI, LJ))
+    state = (D, sD, N, Q, P, seed, I, J, LI, LJ)
+
+    def seg_call(state, t0, t1):
+        return _dnj_segment(*state, jnp.int32(t0), jnp.int32(t1), mj,
+                            neg_limbs=neg_limbs, scan=scan)
+
+    state = run_segmented(seg_call, state, max(m_host - 2, 0))
+    D, sD, N, Q, P, seed, I, J, LI, LJ = state
     d_last = D[1, 0]
-    # D is returned (and discarded by callers) so the donated input can
-    # alias an output — otherwise XLA keeps the full argument buffer
-    # alive beside the loop temp (2x matrix HBM)
     return I, J, LI, LJ, d_last, D
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("neg_limbs", "store_dtype",
-                                    "compute_dtype"),
-                   donate_argnums=(0,))
-def dnj_joins_q(Dq, m, bytescale, neg_limbs=False,
-                store_dtype=jnp.uint16, compute_dtype=jnp.float32):
-    """Quantized-storage DNJ: D lives on device as uint16/uint8 with
-    the reference's ByteScale quantization (bytescale.h:22-23), compute
-    in float32 — halves/quarters HBM per cell vs float32 state
-    (~65k/~100k taxa on one 16 GB chip).
-
-    Matrix must be complete (the reference's quantized modes cannot
-    represent missing cells either: dtouc of a negative wraps,
-    matrix.h:23-33 storage + bytescale.h macros).  Updates quantize
-    exactly like the C: the both-sides updateD path stores
-    trunc(d*scale + 0.25) (nj.c:905); sD bookkeeping uses the
-    *unquantized* update values (nj.c:907-911), later reads see the
-    quantized cells.  Scan semantics = scan="batch" of dnj_joins.
-    """
-    n = Dq.shape[0]
+def _mk_one_join_q(n, m, bytescale, store_dtype, compute_dtype,
+                   neg_limbs):
+    """one_join body for the quantized engine; m/bytescale traced."""
     dtype = jnp.dtype(compute_dtype)
-    big = jnp.asarray(np.finfo(dtype).max, dtype)
-    idx = jnp.arange(n)
+    big, idx = _common(n, dtype)
     bs = jnp.asarray(bytescale, dtype)
     inv = jnp.asarray(1.0, dtype) / bs
     qmax = jnp.asarray(np.iinfo(np.dtype(store_dtype)).max, dtype)
@@ -429,59 +450,12 @@ def dnj_joins_q(Dq, m, bytescale, neg_limbs=False,
         q = coef * drow - sD[i] - sD
         return jnp.where(idx < i, q, big)
 
-    def last_min(q):
-        mn = q.min()
-        return mn, jnp.where(q == mn, idx, -1).max().astype(jnp.int32)
-
-    # --- init (complete matrix: N_k = m for every row)
-    active0 = idx < m
-    CH = next(c for c in (512, 256, 128) if n % c == 0)
-    nch = n // CH
-    mt0 = jnp.asarray(m - 2, dtype)
-
-    def _sd_chunk(_, c):
-        Drows = deq(jax.lax.dynamic_slice(Dq, (c * CH, 0), (CH, n)))
-        v = active0[None, :] & (c * CH + jnp.arange(CH)[:, None]
-                                != idx[None, :])
-        # sequential accumulation order (initSummaD, nj.c:111-180)
-        return None, jnp.cumsum(jnp.where(v, Drows, 0),
-                                axis=1, dtype=dtype)[:, -1]
-
-    _, sD = jax.lax.scan(_sd_chunk, None, jnp.arange(nch))
-    sD = sD.reshape(n)
-
-    def _qp_chunk(_, c):
-        rows = c * CH + jnp.arange(CH)
-        Drows = deq(jax.lax.dynamic_slice(Dq, (c * CH, 0), (CH, n)))
-        lv = (active0[rows][:, None] & active0[None, :]
-              & (idx[None, :] < rows[:, None]))
-        Qm = jnp.where(lv, mt0 * Drows - sD[rows][:, None]
-                       - sD[None, :], big)
-        Qc = Qm.min(axis=1)
-        cand = lv & (Qm == Qc[:, None])
-        dmask = jnp.where(cand, Drows, big)
-        prefmin = jax.lax.cummin(dmask, axis=1)
-        sel = cand & (dmask == prefmin)
-        Pc = jnp.where(sel, idx[None, :], -1).max(axis=1) \
-            .astype(jnp.int32)
-        return None, (Qc, jnp.maximum(Pc, 0))
-
-    _, (Q, P) = jax.lax.scan(_qp_chunk, None, jnp.arange(nch))
-    Q = jnp.where(active0, Q.reshape(n), big)
-    P = P.reshape(n)
-
-    qrows = jnp.where((idx >= 1) & active0, Q, big)
-    mn0 = qrows.min()
-    seed0 = jnp.where(active0.sum() > 1,
-                      jnp.where(qrows == mn0, idx, -1).max(), 0) \
-        .astype(jnp.int32)
-
     KB = 128
 
     def one_join(t, carry):
         Dq, sD, Q, P, seed, I, J, LI, LJ = carry
         m_t = m - t
-        mt = jnp.asarray(m_t - 2, dtype)
+        mt = (m_t - 2).astype(dtype)
 
         seed_ok = (seed != 0) & (Q[seed] != big)
         minv0 = jnp.where(seed_ok, Q[seed], big)
@@ -532,7 +506,7 @@ def dnj_joins_q(Dq, m, bytescale, neg_limbs=False,
         i, j = pi, pj
 
         D_ij = deq(Dq[i, j])
-        Ni = jnp.asarray(m_t - 2, dtype)  # complete: N_k = m_t
+        Ni = (m_t - 2).astype(dtype)  # complete: N_k = m_t
         delta = jnp.where(Ni > 0, (sD[i] - D_ij) / jnp.maximum(Ni, 1)
                           - (sD[j] - D_ij) / jnp.maximum(Ni, 1), 0.0)
         Li = jnp.where(Ni > 0, (D_ij + delta) / 2, D_ij / 2)
@@ -559,9 +533,9 @@ def dnj_joins_q(Dq, m, bytescale, neg_limbs=False,
         # cache repair for column j + fresh row j (reads see quantized;
         # the repair coefficient uses the post-updateD N = m_t - 1, so
         # (N_j + N_k - 4) >> 1 = m_t - 3)
-        mt_post = jnp.asarray(m_t - 3, dtype)
+        mt_post = (m_t - 3).astype(dtype)
         qj = row_qc(Dq, sD, j, mt_post)
-        Qj, Pj = last_min(qj)
+        Qj, Pj = _last_min(qj, idx)
         Q = Q.at[j].set(jnp.where(hp, Qj, Q[j]))
         P = P.at[j].set(jnp.where(hp, jnp.where(Qj == big, 0, Pj),
                                   P[j]))
@@ -587,7 +561,7 @@ def dnj_joins_q(Dq, m, bytescale, neg_limbs=False,
         Dq = Dq.at[:, i].set(jnp.where(g, newrow_i, Dq[:, i]))
         sD = sD.at[i].set(jnp.where(g, sD[last], sD[i]))
         qi = row_qc(Dq, sD, i, mt_post)
-        Qi, Pi = last_min(qi)
+        Qi, Pi = _last_min(qi, idx)
         Q = Q.at[i].set(jnp.where(g, Qi, Q[i]))
         P = P.at[i].set(jnp.where(g, jnp.where(Qi == big, 0, Pi),
                                   P[i]))
@@ -619,17 +593,143 @@ def dnj_joins_q(Dq, m, bytescale, neg_limbs=False,
         LJ = LJ.at[t].set(jnp.where(hp, Lj, -1.0))
         return Dq, sD, Q, P, seed, I, J, LI, LJ
 
+    return one_join
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",),
+                   donate_argnums=(0,))
+def _dnj_init_q(Dq, m, bytescale, compute_dtype=jnp.float32):
+    """Quantized-engine init (complete matrix: N_k = m every row)."""
+    n = Dq.shape[0]
+    dtype = jnp.dtype(compute_dtype)
+    big, idx = _common(n, dtype)
+    bs = jnp.asarray(bytescale, dtype)
+    inv = jnp.asarray(1.0, dtype) / bs
+    active0 = idx < m
+    CH = next(c for c in (512, 256, 128) if n % c == 0)
+    nch = n // CH
+    mt0 = (m - 2).astype(dtype)
+
+    def deq(q):
+        return q.astype(dtype) * inv
+
+    def _sd_chunk(_, c):
+        Drows = deq(jax.lax.dynamic_slice(Dq, (c * CH, 0), (CH, n)))
+        v = active0[None, :] & (c * CH + jnp.arange(CH)[:, None]
+                                != idx[None, :])
+        # sequential accumulation order (initSummaD, nj.c:111-180)
+        return None, jnp.cumsum(jnp.where(v, Drows, 0),
+                                axis=1, dtype=dtype)[:, -1]
+
+    _, sD = jax.lax.scan(_sd_chunk, None, jnp.arange(nch))
+    sD = sD.reshape(n)
+
+    def _qp_chunk(_, c):
+        rows = c * CH + jnp.arange(CH)
+        Drows = deq(jax.lax.dynamic_slice(Dq, (c * CH, 0), (CH, n)))
+        lv = (active0[rows][:, None] & active0[None, :]
+              & (idx[None, :] < rows[:, None]))
+        Qm = jnp.where(lv, mt0 * Drows - sD[rows][:, None]
+                       - sD[None, :], big)
+        Qc = Qm.min(axis=1)
+        cand = lv & (Qm == Qc[:, None])
+        dmask = jnp.where(cand, Drows, big)
+        prefmin = jax.lax.cummin(dmask, axis=1)
+        sel = cand & (dmask == prefmin)
+        Pc = jnp.where(sel, idx[None, :], -1).max(axis=1) \
+            .astype(jnp.int32)
+        return None, (Qc, jnp.maximum(Pc, 0))
+
+    _, (Q, P) = jax.lax.scan(_qp_chunk, None, jnp.arange(nch))
+    Q = jnp.where(active0, Q.reshape(n), big)
+    P = P.reshape(n)
+
+    qrows = jnp.where((idx >= 1) & active0, Q, big)
+    mn0 = qrows.min()
+    seed0 = jnp.where(active0.sum() > 1,
+                      jnp.where(qrows == mn0, idx, -1).max(), 0) \
+        .astype(jnp.int32)
+    return Dq, sD, Q, P, seed0
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("neg_limbs", "store_dtype",
+                                    "compute_dtype"),
+                   donate_argnums=tuple(range(9)))
+def _dnj_segment_q(Dq, sD, Q, P, seed, I, J, LI, LJ, t0, t1, m,
+                   bytescale, neg_limbs=False, store_dtype=jnp.uint16,
+                   compute_dtype=jnp.float32):
+    one_join = _mk_one_join_q(Dq.shape[0], m, bytescale, store_dtype,
+                              compute_dtype, neg_limbs)
+    return jax.lax.fori_loop(t0, t1, one_join,
+                             (Dq, sD, Q, P, seed, I, J, LI, LJ))
+
+
+def dnj_joins_q(Dq, m, bytescale, neg_limbs=False,
+                store_dtype=jnp.uint16, compute_dtype=jnp.float32):
+    """Quantized-storage DNJ: D lives on device as uint16/uint8 with
+    the reference's ByteScale quantization (bytescale.h:22-23), compute
+    in float32 — halves/quarters HBM per cell vs float32 state
+    (~65k/~100k taxa on one 16 GB chip).  Host-segmented like
+    dnj_joins.
+
+    Matrix must be complete (the reference's quantized modes cannot
+    represent missing cells either: dtouc of a negative wraps,
+    matrix.h:23-33 storage + bytescale.h macros).  Updates quantize
+    exactly like the C: the both-sides updateD path stores
+    trunc(d*scale + 0.25) (nj.c:905); sD bookkeeping uses the
+    *unquantized* update values (nj.c:907-911), later reads see the
+    quantized cells.  Scan semantics = scan="batch" of dnj_joins.
+    """
+    n = Dq.shape[0]
+    dtype = jnp.dtype(compute_dtype)
+    m_host = int(m)
+    mj = jnp.int32(m_host)
+    bsj = jnp.asarray(bytescale, dtype)
+    Dq, sD, Q, P, seed = _dnj_init_q(Dq, mj, bsj,
+                                     compute_dtype=compute_dtype)
     I = jnp.zeros(n, jnp.int32)
     J = jnp.zeros(n, jnp.int32)
     LI = jnp.zeros(n, dtype)
     LJ = jnp.zeros(n, dtype)
-    Dq, sD, Q, P, _, I, J, LI, LJ = jax.lax.fori_loop(
-        0, jnp.maximum(m - 2, 0), one_join,
-        (Dq, sD, Q, P, seed0, I, J, LI, LJ))
-    # Dq is returned (and discarded by callers) so the donated input
-    # can alias an output — otherwise XLA keeps the 4 GB argument
-    # buffer alive for the whole program
-    return I, J, LI, LJ, deq(Dq[1, 0]), Dq
+    state = (Dq, sD, Q, P, seed, I, J, LI, LJ)
+
+    def seg_call(state, t0, t1):
+        return _dnj_segment_q(*state, jnp.int32(t0), jnp.int32(t1), mj,
+                              bsj, neg_limbs=neg_limbs,
+                              store_dtype=store_dtype,
+                              compute_dtype=compute_dtype)
+
+    state = run_segmented(seg_call, state, max(m_host - 2, 0))
+    Dq, sD, Q, P, seed, I, J, LI, LJ = state
+    inv = jnp.asarray(1.0, dtype) / bsj
+    return I, J, LI, LJ, Dq[1, 0].astype(dtype) * inv, Dq
+
+
+def _records_to_newick(I, J, LI, LJ, d_last, n, names, flag, precision):
+    """Shared host-side Newick assembly from device join records."""
+    I = np.asarray(I)
+    J = np.asarray(J)
+    LI = np.asarray(LI, np.float64)
+    LJ = np.asarray(LJ, np.float64)
+    m = n
+    for t in range(max(n - 2, 0)):
+        i, j = int(I[t]), int(J[t])
+        if i == 0 and j == 0:
+            break  # no joinable pair left (missing data)
+        form_node(names[j], names[i], float(LJ[t]), float(LI[t]),
+                  precision)
+        m -= 1
+        names[i], names[m] = names[m], names[i]
+    last = form_last_bi_node if (flag & 1) else form_last_node
+    if m == 2:
+        last(names[0], names[1], float(np.asarray(d_last)), precision)
+    else:
+        while m > 1:
+            m -= 1
+            last(names[0], names[m], -1.0, precision)
+    byteshift_fix(names[0])
+    return names[0].data
 
 
 def build_tree_jax_q(flat64: np.ndarray, n: int, names: list[Name],
@@ -654,28 +754,8 @@ def build_tree_jax_q(flat64: np.ndarray, n: int, names: list[Name],
         jnp.asarray(bytescale, compute_dtype),
         neg_limbs=bool(flag & 2), store_dtype=store_dtype,
         compute_dtype=compute_dtype)
-    I = np.asarray(I)
-    J = np.asarray(J)
-    LI = np.asarray(LI, np.float64)
-    LJ = np.asarray(LJ, np.float64)
-    m = n
-    for t in range(max(n - 2, 0)):
-        i, j = int(I[t]), int(J[t])
-        if i == 0 and j == 0:
-            break
-        form_node(names[j], names[i], float(LJ[t]), float(LI[t]),
-                  precision)
-        m -= 1
-        names[i], names[m] = names[m], names[i]
-    last = form_last_bi_node if (flag & 1) else form_last_node
-    if m == 2:
-        last(names[0], names[1], float(np.asarray(d_last)), precision)
-    else:
-        while m > 1:
-            m -= 1
-            last(names[0], names[m], -1.0, precision)
-    byteshift_fix(names[0])
-    return names[0].data
+    return _records_to_newick(I, J, LI, LJ, d_last, n, names, flag,
+                              precision)
 
 
 def build_tree_jax(flat64: np.ndarray, n: int, names: list[Name],
@@ -692,25 +772,5 @@ def build_tree_jax(flat64: np.ndarray, n: int, names: list[Name],
                                         jnp.int32(n),
                                         neg_limbs=bool(flag & 2),
                                         scan=scan)
-    I = np.asarray(I)
-    J = np.asarray(J)
-    LI = np.asarray(LI, np.float64)
-    LJ = np.asarray(LJ, np.float64)
-    m = n
-    for t in range(max(n - 2, 0)):
-        i, j = int(I[t]), int(J[t])
-        if i == 0 and j == 0:
-            break  # no joinable pair left (missing data)
-        form_node(names[j], names[i], float(LJ[t]), float(LI[t]),
-                  precision)
-        m -= 1
-        names[i], names[m] = names[m], names[i]
-    last = form_last_bi_node if (flag & 1) else form_last_node
-    if m == 2:
-        last(names[0], names[1], float(np.asarray(d_last)), precision)
-    else:
-        while m > 1:
-            m -= 1
-            last(names[0], names[m], -1.0, precision)
-    byteshift_fix(names[0])
-    return names[0].data
+    return _records_to_newick(I, J, LI, LJ, d_last, n, names, flag,
+                              precision)

@@ -29,15 +29,18 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..io.qseqs import Name
+import math
+
+from ..io.qseqs import Name  # noqa: F401 (API type)
 from ..ops.select import topk_mask_indices
-from .newick_build import (byteshift_fix, form_last_bi_node,
-                           form_last_node, form_node)
+from .jax_engine import _records_to_newick
+from .segmenting import run_segmented
 
 
 def _pad_packed(n: int, nb: int) -> int:
-    """Rows padded so npad % (128*nb) == 0 and npad % 512 == 0."""
-    mult = max(512, 128 * nb)
+    """Rows padded so npad is a multiple of both 512 and 128*nb (any
+    nb, not just powers of two — the lcm handles e.g. nb=3)."""
+    mult = math.lcm(512, 128 * nb)
     return max(-(-n // mult) * mult, mult)
 
 
@@ -58,22 +61,11 @@ def _pack_bytes(v):
             | (r[..., 3] << jnp.uint32(24)))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("neg_limbs", "compute_dtype"),
-                   donate_argnums=(0,))
-def dnj_joins_packed(blocks, m, bytescale, neg_limbs=False,
-                     compute_dtype=jnp.float32):
-    """All m-2 DNJ joins over a u32-packed, row-blocked u8 matrix.
-
-    blocks: tuple of nb uint32 arrays, each (R, W) with nb*R == 4W ==
-    npad (use `pack_blocks` / `_pad_packed`).  m: active taxa.  Returns
-    (I, J, LI, LJ, d_last, blocks) — blocks are donated and returned so
-    XLA aliases them in place.
-    """
-    nb = len(blocks)
-    R, W = blocks[0].shape
+def _mk_one_join_packed(nb, R, W, m, bytescale, compute_dtype,
+                        neg_limbs):
+    """one_join body over u32-packed row-blocked storage; m/bytescale
+    are traced scalars closed over."""
     n = nb * R
-    assert 4 * W == n, "blocks must tile a square byte matrix"
     dtype = jnp.dtype(compute_dtype)
     big = jnp.asarray(np.finfo(dtype).max, dtype)
     idx = jnp.arange(n)
@@ -134,58 +126,6 @@ def dnj_joins_packed(blocks, m, bytescale, neg_limbs=False,
     def last_min(q):
         mn = q.min()
         return mn, jnp.where(q == mn, idx, -1).max().astype(jnp.int32)
-
-    # --- init (complete matrix: N_k = m for every row) ---------------
-    active0 = idx < m
-    CH = next(c for c in (512, 256, 128) if R % c == 0)
-    nch = R // CH
-    mt0 = jnp.asarray(m - 2, dtype)
-
-    sD_parts, Q_parts, P_parts = [], [], []
-    for b in range(nb):
-        def _sd_chunk(_, c, b=b):
-            rows = b * R + c * CH + jnp.arange(CH)
-            Drows = deq(_unpack_words(jax.lax.dynamic_slice(
-                blocks[b], (c * CH, 0), (CH, W))))
-            v = active0[None, :] & (rows[:, None] != idx[None, :])
-            # sequential accumulation order (initSummaD, nj.c:111-180)
-            return None, jnp.cumsum(jnp.where(v, Drows, 0),
-                                    axis=1, dtype=dtype)[:, -1]
-
-        _, sDb = jax.lax.scan(_sd_chunk, None, jnp.arange(nch))
-        sD_parts.append(sDb.reshape(R))
-    sD = jnp.concatenate(sD_parts)
-
-    for b in range(nb):
-        def _qp_chunk(_, c, b=b):
-            rows = b * R + c * CH + jnp.arange(CH)
-            Drows = deq(_unpack_words(jax.lax.dynamic_slice(
-                blocks[b], (c * CH, 0), (CH, W))))
-            lv = (active0[rows][:, None] & active0[None, :]
-                  & (idx[None, :] < rows[:, None]))
-            Qm = jnp.where(lv, mt0 * Drows - sD[rows][:, None]
-                           - sD[None, :], big)
-            Qc = Qm.min(axis=1)
-            # initHNJ tie rule (hclust.c:110-116)
-            cand = lv & (Qm == Qc[:, None])
-            dmask = jnp.where(cand, Drows, big)
-            prefmin = jax.lax.cummin(dmask, axis=1)
-            sel = cand & (dmask == prefmin)
-            Pc = jnp.where(sel, idx[None, :], -1).max(axis=1) \
-                .astype(jnp.int32)
-            return None, (Qc, jnp.maximum(Pc, 0))
-
-        _, (Qb, Pb) = jax.lax.scan(_qp_chunk, None, jnp.arange(nch))
-        Q_parts.append(Qb.reshape(R))
-        P_parts.append(Pb.reshape(R))
-    Q = jnp.where(active0, jnp.concatenate(Q_parts), big)
-    P = jnp.concatenate(P_parts)
-
-    qrows = jnp.where((idx >= 1) & active0, Q, big)
-    mn0 = qrows.min()
-    seed0 = jnp.where(active0.sum() > 1,
-                      jnp.where(qrows == mn0, idx, -1).max(), 0) \
-        .astype(jnp.int32)
 
     KB = 128
 
@@ -352,14 +292,127 @@ def dnj_joins_packed(blocks, m, bytescale, neg_limbs=False,
         LJ = LJ.at[t].set(jnp.where(hp, Lj, -1.0))
         return blocks, sD, Q, P, seed, I, J, LI, LJ
 
+    return one_join
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",),
+                   donate_argnums=(0,))
+def _packed_init(blocks, m, bytescale, compute_dtype=jnp.float32):
+    """initSummaD + initHNJ + seed over packed blocked storage
+    (complete matrix: N_k = m for every row)."""
+    nb = len(blocks)
+    R, W = blocks[0].shape
+    n = nb * R
+    dtype = jnp.dtype(compute_dtype)
+    big = jnp.asarray(np.finfo(dtype).max, dtype)
+    idx = jnp.arange(n)
+    inv = jnp.asarray(1.0, dtype) / jnp.asarray(bytescale, dtype)
+
+    def deq(byte_vals):
+        return byte_vals.astype(dtype) * inv
+
+    active0 = idx < m
+    CH = next(c for c in (512, 256, 128) if R % c == 0)
+    nch = R // CH
+    mt0 = (m - 2).astype(dtype)
+
+    sD_parts, Q_parts, P_parts = [], [], []
+    for b in range(nb):
+        def _sd_chunk(_, c, b=b):
+            rows = b * R + c * CH + jnp.arange(CH)
+            Drows = deq(_unpack_words(jax.lax.dynamic_slice(
+                blocks[b], (c * CH, 0), (CH, W))))
+            v = active0[None, :] & (rows[:, None] != idx[None, :])
+            # sequential accumulation order (initSummaD, nj.c:111-180)
+            return None, jnp.cumsum(jnp.where(v, Drows, 0),
+                                    axis=1, dtype=dtype)[:, -1]
+
+        _, sDb = jax.lax.scan(_sd_chunk, None, jnp.arange(nch))
+        sD_parts.append(sDb.reshape(R))
+    sD = jnp.concatenate(sD_parts)
+
+    for b in range(nb):
+        def _qp_chunk(_, c, b=b):
+            rows = b * R + c * CH + jnp.arange(CH)
+            Drows = deq(_unpack_words(jax.lax.dynamic_slice(
+                blocks[b], (c * CH, 0), (CH, W))))
+            lv = (active0[rows][:, None] & active0[None, :]
+                  & (idx[None, :] < rows[:, None]))
+            Qm = jnp.where(lv, mt0 * Drows - sD[rows][:, None]
+                           - sD[None, :], big)
+            Qc = Qm.min(axis=1)
+            # initHNJ tie rule (hclust.c:110-116)
+            cand = lv & (Qm == Qc[:, None])
+            dmask = jnp.where(cand, Drows, big)
+            prefmin = jax.lax.cummin(dmask, axis=1)
+            sel = cand & (dmask == prefmin)
+            Pc = jnp.where(sel, idx[None, :], -1).max(axis=1) \
+                .astype(jnp.int32)
+            return None, (Qc, jnp.maximum(Pc, 0))
+
+        _, (Qb, Pb) = jax.lax.scan(_qp_chunk, None, jnp.arange(nch))
+        Q_parts.append(Qb.reshape(R))
+        P_parts.append(Pb.reshape(R))
+    Q = jnp.where(active0, jnp.concatenate(Q_parts), big)
+    P = jnp.concatenate(P_parts)
+
+    qrows = jnp.where((idx >= 1) & active0, Q, big)
+    mn0 = qrows.min()
+    seed0 = jnp.where(active0.sum() > 1,
+                      jnp.where(qrows == mn0, idx, -1).max(), 0) \
+        .astype(jnp.int32)
+    return blocks, sD, Q, P, seed0
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("neg_limbs", "compute_dtype"),
+                   donate_argnums=tuple(range(9)))
+def _packed_segment(blocks, sD, Q, P, seed, I, J, LI, LJ, t0, t1, m,
+                    bytescale, neg_limbs=False,
+                    compute_dtype=jnp.float32):
+    nb = len(blocks)
+    R, W = blocks[0].shape
+    one_join = _mk_one_join_packed(nb, R, W, m, bytescale,
+                                   compute_dtype, neg_limbs)
+    return jax.lax.fori_loop(t0, t1, one_join,
+                             (blocks, sD, Q, P, seed, I, J, LI, LJ))
+
+
+def dnj_joins_packed(blocks, m, bytescale, neg_limbs=False,
+                     compute_dtype=jnp.float32):
+    """All m-2 DNJ joins over a u32-packed, row-blocked u8 matrix
+    (host-segmented dispatch, see tree/segmenting.py).
+
+    blocks: tuple of nb uint32 arrays, each (R, W) with nb*R == 4W ==
+    npad (use `pack_blocks` / `_pad_packed`).  m: active taxa.  Returns
+    (I, J, LI, LJ, d_last, blocks) — blocks are donated and returned so
+    XLA aliases them in place.
+    """
+    nb = len(blocks)
+    R, W = blocks[0].shape
+    n = nb * R
+    assert 4 * W == n, "blocks must tile a square byte matrix"
+    dtype = jnp.dtype(compute_dtype)
+    m_host = int(m)
+    mj = jnp.int32(m_host)
+    bsj = jnp.asarray(bytescale, dtype)
+    blocks, sD, Q, P, seed = _packed_init(blocks, mj, bsj,
+                                          compute_dtype=compute_dtype)
     I = jnp.zeros(n, jnp.int32)
     J = jnp.zeros(n, jnp.int32)
     LI = jnp.zeros(n, dtype)
     LJ = jnp.zeros(n, dtype)
-    blocks, sD, Q, P, _, I, J, LI, LJ = jax.lax.fori_loop(
-        0, jnp.maximum(m - 2, 0), one_join,
-        (blocks, sD, Q, P, seed0, I, J, LI, LJ))
-    d_last = deq(blocks[0][1, 0] & ff)
+    state = (blocks, sD, Q, P, seed, I, J, LI, LJ)
+
+    def seg_call(state, t0, t1):
+        return _packed_segment(*state, jnp.int32(t0), jnp.int32(t1),
+                               mj, bsj, neg_limbs=neg_limbs,
+                               compute_dtype=compute_dtype)
+
+    state = run_segmented(seg_call, state, max(m_host - 2, 0))
+    blocks, sD, Q, P, seed, I, J, LI, LJ = state
+    inv = jnp.asarray(1.0, dtype) / bsj
+    d_last = (blocks[0][1, 0] & jnp.uint32(0xFF)).astype(dtype) * inv
     return I, J, LI, LJ, d_last, blocks
 
 
@@ -393,25 +446,5 @@ def build_tree_jax_packed(flat64: np.ndarray, n: int, names: list[Name],
     I, J, LI, LJ, d_last, _ = dnj_joins_packed(
         blocks, jnp.int32(n), jnp.asarray(bytescale, compute_dtype),
         neg_limbs=bool(flag & 2), compute_dtype=compute_dtype)
-    I = np.asarray(I)
-    J = np.asarray(J)
-    LI = np.asarray(LI, np.float64)
-    LJ = np.asarray(LJ, np.float64)
-    m = n
-    for t in range(max(n - 2, 0)):
-        i, j = int(I[t]), int(J[t])
-        if i == 0 and j == 0:
-            break
-        form_node(names[j], names[i], float(LJ[t]), float(LI[t]),
-                  precision)
-        m -= 1
-        names[i], names[m] = names[m], names[i]
-    last = form_last_bi_node if (flag & 1) else form_last_node
-    if m == 2:
-        last(names[0], names[1], float(np.asarray(d_last)), precision)
-    else:
-        while m > 1:
-            m -= 1
-            last(names[0], names[m], -1.0, precision)
-    byteshift_fix(names[0])
-    return names[0].data
+    return _records_to_newick(I, J, LI, LJ, d_last, n, names, flag,
+                              precision)
