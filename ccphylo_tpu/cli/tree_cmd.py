@@ -247,6 +247,23 @@ def _dispatch_build(flat, n, names, method, flag, precision, dtype,
             flat, n, names, flag, precision, bytescale=bytescale,
             nb=nb, compute_dtype=jnp.float64 if eng == "packed64"
             else jnp.float32)
+    if eng in ("device", "device64") \
+            and method in ("upgma", "ff", "cf", "hnj", "nj", "mn") \
+            and dtype == "d":
+        # device heuristic/UPGMA family (tree/hclust_engine.py):
+        # upgma/ff via UPGMApair cached scans, cf/hnj via minQ global
+        # picks, nj/mn via full masked scans — reference
+        # hclust.c:56-1720, dnj.c:217-293, nj.c:182-362
+        from ..utils.jaxconfig import configure_jax
+        jax = configure_jax()
+        import jax.numpy as jnp
+        if eng == "device64":
+            jax.config.update("jax_enable_x64", True)
+        from ..tree.hclust_engine import build_tree_hclust
+        return build_tree_hclust(
+            flat, n, names, method=method, flag=flag,
+            precision=precision,
+            dtype=jnp.float64 if eng == "device64" else jnp.float32)
     if eng in ("device", "device64") and method == "dnj":
         from ..utils.jaxconfig import configure_jax
         jax = configure_jax()

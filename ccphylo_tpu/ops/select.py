@@ -9,14 +9,17 @@ def topk_mask_indices(mask, idx, K):
     """The K largest values of `idx` where `mask` is set, descending,
     padded with -1 — `idx` must be ascending (arange).
 
-    Drop-in for ``lax.top_k(where(mask, idx, -1), K)[0]``: this TPU
-    runtime's top_k kernel livelocks on inputs with a long constant
-    suffix at widths > 32768, which is exactly the candidate-row
-    pattern of the DNJ scans (few candidates at low indices, -1
-    everywhere else) — the round-1 ">32k taxa" worker fault.  A
+    Drop-in for ``lax.top_k(where(mask, idx, -1), K)[0]``.  A
     suffix-count rank compaction (one cumsum + one K-wide scatter) is
     deterministic, cheaper than a partial sort, and has no
     data-dependent pathologies.
+
+    History: the round-1/2 ">32k taxa" worker crashes were first
+    blamed on a top_k livelock; that theory was falsified (both top_k
+    and this compaction crashed above 32k).  The real cause — measured
+    in round 3 — is the runtime's execution-time watchdog on any
+    single XLA execution past ~15-30 s; see tree/segmenting.py.  This
+    compaction is kept because it is cheaper and fully predictable.
     """
     cmi = mask.astype(jnp.int32)
     # rank r_i = number of set positions with index > i: 0 for the

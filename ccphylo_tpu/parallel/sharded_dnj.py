@@ -42,6 +42,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..io.qseqs import Name
 from ..ops.select import topk_mask_indices
+from ..tree.jax_engine import _ltd_row_of
 from ..tree.newick_build import (byteshift_fix, form_last_bi_node,
                                  form_last_node, form_node)
 
@@ -244,7 +245,10 @@ def _dnj_program(mesh: Mesh, axis: str, npad: int, n: int,
                 Lj_c = jnp.where(Li < 0, D_ij, jnp.where(Lj < 0, 0.0, Lj))
                 Li, Lj = Li_c, Lj_c
 
-            # updateD (nj.c:836-1044) — replicated full-row view
+            # updateD (nj.c:836-1044) — replicated full-row view with
+            # the reference's exact bookkeeping (walker-slot targets +
+            # the nj.c:1022 out-of-row garbage read; see
+            # jax_engine._update_d_exact for the single-chip twin)
             act = cols < m_t
             vi_f = rowi >= 0
             vj_f = rowj >= 0
@@ -253,26 +257,57 @@ def _dnj_program(mesh: Mesh, axis: str, npad: int, n: int,
             oi_f = validk_f & vi_f & ~vj_f
             oj_f = validk_f & ~vi_f & vj_f
             dboth_f = jnp.maximum((rowi + rowj - D_ij) / 2, 0.0)
-            newd_f = jnp.where(both_f, dboth_f,
-                               jnp.where(oi_f, rowi - Li,
-                                         jnp.where(oj_f, rowj - Lj,
-                                                   rowj)))
-            counted_f = both_f | oi_f | oj_f
-            sDj_new = jnp.where(counted_f, newd_f, 0).sum(dtype=dtype)
-            Nj_new = 1 + counted_f.sum(dtype=jnp.int32)
-            newd_masked = jnp.where(validk_f, newd_f, -1.0)
+            stored_f = jnp.where(both_f, dboth_f,
+                                 jnp.where(oi_f, rowi - Li,
+                                           jnp.where(oj_f, rowj - Lj,
+                                                     rowj)))
+            adv_f = both_f | oi_f | oj_f
+            adv_r = adv_f & (cols < j)
+            adv_c = adv_f & (cols > j)
+            wpos = jnp.cumsum(adv_r.astype(jnp.int32)) - 1
+            wbase = adv_r.sum(dtype=jnp.int32)
+            prevc = jnp.cumsum(adv_c.astype(jnp.int32)) - adv_c
+            tgt = jnp.where(adv_r, wpos,
+                            wbase + 1 + (cols > i).astype(jnp.int32)
+                            + prevc)
+            tgt = jnp.where(adv_f, tgt, npad)
+            # out-of-row garbage for column-part only_j: ltd flat cell
+            # off(j)+k, which may alias a column-j cell stored earlier
+            # this sweep, or an arbitrary old cell (psum-gathered from
+            # its owner)
+            kk = jnp.maximum(cols, j + 1)
+            r_g = _ltd_row_of(kk, j)
+            c_g = kk - (r_g - j) * (r_g + j - 1) // 2
+            colj_old_g = jax.lax.all_gather(Dl[:, j], axis, tiled=True)
+            seen_g = (r_g < cols) & (r_g != i) & adv_c[r_g]
+            garb_cj = jnp.where(r_g == cols, stored_f,
+                                jnp.where(seen_g, stored_f[r_g],
+                                          colj_old_g[r_g]))
+            own_rg = (r_g // R) == dev
+            other_l = Dl[r_g % R, c_g]
+            garb_other = jax.lax.psum(
+                jnp.where(own_rg, other_l, jnp.asarray(0, dtype)), axis)
+            garb = jnp.where(c_g == j, garb_cj, garb_other)
+            contrib_f = jnp.where(oj_f & (cols > j), stored_f - garb,
+                                  stored_f)
+            sd_src = jnp.where(both_f, -(rowi + rowj - dboth_f),
+                               jnp.where(oi_f, -Li,
+                                         jnp.where(oj_f & (cols < j),
+                                                   -Lj, contrib_f)))
+            sd_delta_g = jnp.zeros(npad, dtype).at[tgt].add(
+                jnp.where(adv_f, sd_src, 0.0), mode="drop")
+            n_delta_g = jnp.zeros(npad, jnp.int32).at[tgt].add(
+                jnp.where(both_f | oj_f, -1, 0), mode="drop")
+            sDj_new = jnp.cumsum(jnp.where(adv_f, contrib_f, 0),
+                                 dtype=dtype)[-1]
+            Nj_new = 1 + adv_f.sum(dtype=jnp.int32)
+            newd_masked = jnp.where(validk_f, stored_f, -1.0)
 
-            # my rows' local view of the same masks
-            both_l = both_f[gi]
-            oi_l = oi_f[gi]
-            oj_l = oj_f[gi]
-            newd_l = newd_f[gi]
+            # my rows' local view
             validk_l = validk_f[gi]
-            sDl = jnp.where(both_l, sDl - (rowi[gi] + rowj[gi]
-                                           - dboth_f[gi]),
-                            jnp.where(oi_l, sDl - Li,
-                                      jnp.where(oj_l, sDl - Lj, sDl)))
-            Nl = jnp.where(both_l | oj_l, Nl - 1, Nl)
+            newd_l = stored_f[gi]
+            sDl = sDl + sd_delta_g[gi]
+            Nl = Nl + n_delta_g[gi]
             # owner writes go through drop-mode scatters (out-of-range
             # index when not mine / no pair) — a jnp.where over the
             # whole local block would cost O(R*n) per join
@@ -286,11 +321,9 @@ def _dnj_program(mesh: Mesh, axis: str, npad: int, n: int,
             Dl = Dl.at[lj_w, :].set(rowj_new, mode="drop")
 
             # replicated new global sD / N (avoids a second all-gather)
-            sDg2 = jnp.where(both_f, sDg - (rowi + rowj - dboth_f),
-                             jnp.where(oi_f, sDg - Li,
-                                       jnp.where(oj_f, sDg - Lj, sDg)))
+            sDg2 = sDg + sd_delta_g
             sDg2 = sDg2.at[j].set(jnp.where(hp, sDj_new, sDg[j]))
-            Ng2 = jnp.where(both_f | oj_f, Ng - 1, Ng)
+            Ng2 = Ng + n_delta_g
             Ng2 = Ng2.at[j].set(jnp.where(hp, Nj_new, Ng[j]))
 
             # updateDNJ cache repair for column j + fresh row j cache

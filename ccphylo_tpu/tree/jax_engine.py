@@ -62,11 +62,13 @@ def _last_min(q, idx):
     return mn, jnp.where(q == mn, idx, -1).max().astype(jnp.int32)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def _dnj_init(D, m):
     """initSummaD + initHNJ + initial minQ seed (nj.c:111-180,
-    hclust.c:56-130,353-381).  Returns (D, sD, N, Q, P, seed); D passes
-    through so the donated input aliases an output."""
+    hclust.c:56-130,353-381).  D is READ-ONLY here and deliberately not
+    donated: XLA materializes defensive copies of donated pass-through
+    buffers (measured: +9.4 GB at n=100352 in the packed engine's
+    init), which OOMs exactly the large runs the engine exists for."""
     n = D.shape[0]
     dtype = D.dtype
     big, idx = _common(n, dtype)
@@ -81,7 +83,10 @@ def _dnj_init(D, m):
         Drows = jax.lax.dynamic_slice(D, (c * CH, 0), (CH, n))
         v = (active0[rows][:, None] & active0[None, :] & (Drows >= 0)
              & (rows[:, None] != idx[None, :]))
-        return None, (jnp.where(v, Drows, 0).sum(axis=1, dtype=dtype),
+        # sequential accumulation order (initSummaD, nj.c:111-180):
+        # float ties downstream depend on these exact ulps
+        return None, (jnp.cumsum(jnp.where(v, Drows, 0), axis=1,
+                                 dtype=dtype)[:, -1],
                       1 + v.sum(axis=1, dtype=jnp.int32))
 
     _, (sD, N) = jax.lax.scan(_sdn_chunk, None, jnp.arange(nch))
@@ -117,7 +122,103 @@ def _dnj_init(D, m):
     seed0 = jnp.where(
         active0.sum() > 1,
         jnp.where(qrows == mn0, idx, -1).max(), 0).astype(jnp.int32)
-    return D, sD, N, Q, P, seed0
+    return sD, N, Q, P, seed0
+
+
+def _ltd_row_of(k, j, idx_dtype=jnp.int32):
+    """Row r of the ltd flat cell f = off(j) + k (k > j): the largest r
+    with r(r-1)/2 <= f.  Overflow-safe for any padded n: the float32
+    sqrt estimate is fixed up with the division-form predicate
+    (r-j) <= 2k // (r+j-1), which never forms the O(n^2) product."""
+    f_f = (j.astype(jnp.float32) * (j - 1).astype(jnp.float32) / 2
+           + k.astype(jnp.float32))
+    r0 = jnp.floor((1.0 + jnp.sqrt(8.0 * f_f + 1.0)) / 2.0) \
+        .astype(idx_dtype)
+    two_k = 2 * k
+    best = j + 1  # off(j+1) <= off(j)+k always (k > j)
+    for d in range(5):
+        cand = jnp.maximum(j + 1, r0 - 2 + d)
+        ok = (cand - j) <= two_k // jnp.maximum(cand + j - 1, 1)
+        best = jnp.where(ok, jnp.maximum(best, cand), best)
+    return best
+
+
+def _update_d_exact(D, sD, N, i, j, Li, Lj, hp, idx, m_t, dtype):
+    """updateD (nj.c:836-1044) with the reference's exact bookkeeping:
+
+    * the sD/N walker pointers do NOT advance past both-missing cells,
+      so their update targets are walker slots (shifted down), not k
+      (see tree/exact.py update_d and the nj.c loop's missing else);
+    * the column-part one-sided D_kj branch reads the out-of-row ltd
+      cell D->mat[j][k] (nj.c:1022) — "garbage" that may alias a cell
+      stored earlier in the same sweep; its sD[j] contribution is
+      (stored - garbage), not the stored value.
+
+    Returns (D, sD, N, valid_k, newD) where newD is the updated row j.
+    """
+    n = D.shape[0]
+    D_ij = D[i, j]
+    D_ik = D[i]
+    D_kj = D[j]
+    active = idx < m_t
+    valid_k = active & (idx != i) & (idx != j) & hp
+    vi = D_ik >= 0
+    vj = D_kj >= 0
+    both = valid_k & vi & vj
+    only_i = valid_k & vi & ~vj
+    only_j = valid_k & ~vi & vj
+    d2 = jnp.maximum((D_ik + D_kj - D_ij) / 2, 0.0)
+    stored = jnp.where(both, d2,
+                       jnp.where(only_i, D_ik - Li,
+                                 jnp.where(only_j, D_kj - Lj, D_kj)))
+
+    krow = idx < j
+    kcol = idx > j
+    adv = both | only_i | only_j
+    adv_r = adv & krow
+    adv_c = adv & kcol
+
+    # --- walker targets: row slots 0.. (skipping both-missing), then
+    # the skip-j advance, the skip-i advance, column slots
+    wpos = jnp.cumsum(adv_r.astype(jnp.int32)) - 1
+    base = adv_r.sum(dtype=jnp.int32)
+    prevc = jnp.cumsum(adv_c.astype(jnp.int32)) - adv_c
+    tgt = jnp.where(adv_r, wpos,
+                    base + 1 + (idx > i).astype(jnp.int32) + prevc)
+    tgt = jnp.where(adv_r | adv_c, tgt, n)  # drop elsewhere
+
+    # --- out-of-row garbage read for column only_j (nj.c:1020-1037)
+    kk = jnp.maximum(idx, j + 1)
+    r = _ltd_row_of(kk, j)
+    c = kk - (r - j) * (r + j - 1) // 2
+    in_colj = c == j
+    seen = (r < idx) & (r != i)  # stored earlier in this column sweep
+    adv_at_r = adv_c[r] & seen
+    garb_cj = jnp.where(r == idx, stored,
+                        jnp.where(adv_at_r, stored[r], D[r, j]))
+    garb = jnp.where(in_colj, garb_cj, D[r, c])
+    contrib = jnp.where(only_j & kcol, stored - garb, stored)
+
+    # --- scatter the walker updates
+    sd_delta = jnp.where(both, -(D_ik + D_kj - d2),
+                         jnp.where(only_i, -Li,
+                                   jnp.where(only_j & krow, -Lj,
+                                             contrib)))
+    sD = sD.at[tgt].add(jnp.where(adv, sd_delta, 0.0), mode="drop")
+    N = N.at[tgt].add(jnp.where(both | only_j, -1, 0), mode="drop")
+
+    # --- row/col j rebuild (C accumulation order = ascending k, kept
+    # sequential via cumsum so float ulps match the host engine)
+    sD = sD.at[j].set(jnp.where(
+        hp, jnp.cumsum(jnp.where(adv, contrib, 0), dtype=dtype)[-1],
+        sD[j]))
+    N = N.at[j].set(jnp.where(hp, 1 + adv.sum(dtype=jnp.int32), N[j]))
+    # both-missing valid cells fall through stored's innermost else to
+    # D_kj — unchanged, exactly the C's no-store
+    newD = jnp.where(valid_k, stored, -1.0)
+    D = D.at[j, :].set(jnp.where(valid_k, newD, D[j]))
+    D = D.at[:, j].set(jnp.where(valid_k, newD, D[:, j]))
+    return D, sD, N, valid_k, newD
 
 
 def _mk_one_join(n, dtype, m, neg_limbs, scan):
@@ -272,33 +373,9 @@ def _mk_one_join(n, dtype, m, neg_limbs, scan):
                              jnp.where(Lj < 0, 0.0, Lj))
             Li, Lj = Li_c, Lj_c
 
-        # ---- updateD (nj.c:836-1044)
-        active = idx < m_t
-        D_ik = D[i]
-        D_kj = D[j]
-        valid_k = active & (idx != i) & (idx != j) & hp
-        vi = D_ik >= 0
-        vj = D_kj >= 0
-        both = valid_k & vi & vj
-        only_i = valid_k & vi & ~vj
-        only_j = valid_k & ~vi & vj
-        d_both = jnp.maximum((D_ik + D_kj - D_ij) / 2, 0.0)
-        newD = jnp.where(both, d_both,
-                         jnp.where(only_i, D_ik - Li,
-                                   jnp.where(only_j, D_kj - Lj,
-                                             D_kj)))
-        sD = jnp.where(both, sD - (D_ik + D_kj - d_both),
-                       jnp.where(only_i, sD - Li,
-                                 jnp.where(only_j, sD - Lj, sD)))
-        N = jnp.where(both | only_j, N - 1, N)
-        counted = both | only_i | only_j
-        sD = sD.at[j].set(jnp.where(
-            hp, jnp.where(counted, newD, 0).sum(dtype=dtype), sD[j]))
-        N = N.at[j].set(jnp.where(
-            hp, 1 + counted.sum(dtype=jnp.int32), N[j]))
-        newD = jnp.where(valid_k, newD, -1.0)
-        D = D.at[j, :].set(jnp.where(valid_k, newD, D[j]))
-        D = D.at[:, j].set(jnp.where(valid_k, newD, D[:, j]))
+        # ---- updateD (nj.c:836-1044), exact walker/garbage semantics
+        D, sD, N, valid_k, newD = _update_d_exact(
+            D, sD, N, i, j, Li, Lj, hp, idx, m_t, dtype)
 
         # ---- updateDNJ cache repair + mi candidate (dnj.c:607-710)
         qj = row_q(D, sD, N, j)
@@ -406,7 +483,7 @@ def dnj_joins(D, m, neg_limbs=False, scan="seq"):
     dtype = D.dtype
     m_host = int(m)
     mj = jnp.int32(m_host)
-    D, sD, N, Q, P, seed = _dnj_init(D, mj)
+    sD, N, Q, P, seed = _dnj_init(D, mj)
     I = jnp.zeros(n, jnp.int32)
     J = jnp.zeros(n, jnp.int32)
     LI = jnp.zeros(n, dtype)
@@ -596,10 +673,10 @@ def _mk_one_join_q(n, m, bytescale, store_dtype, compute_dtype,
     return one_join
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype",),
-                   donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
 def _dnj_init_q(Dq, m, bytescale, compute_dtype=jnp.float32):
-    """Quantized-engine init (complete matrix: N_k = m every row)."""
+    """Quantized-engine init (complete matrix: N_k = m every row).
+    Dq is read-only and not donated (see _dnj_init)."""
     n = Dq.shape[0]
     dtype = jnp.dtype(compute_dtype)
     big, idx = _common(n, dtype)
@@ -649,7 +726,7 @@ def _dnj_init_q(Dq, m, bytescale, compute_dtype=jnp.float32):
     seed0 = jnp.where(active0.sum() > 1,
                       jnp.where(qrows == mn0, idx, -1).max(), 0) \
         .astype(jnp.int32)
-    return Dq, sD, Q, P, seed0
+    return sD, Q, P, seed0
 
 
 @functools.partial(jax.jit,
@@ -686,8 +763,8 @@ def dnj_joins_q(Dq, m, bytescale, neg_limbs=False,
     m_host = int(m)
     mj = jnp.int32(m_host)
     bsj = jnp.asarray(bytescale, dtype)
-    Dq, sD, Q, P, seed = _dnj_init_q(Dq, mj, bsj,
-                                     compute_dtype=compute_dtype)
+    sD, Q, P, seed = _dnj_init_q(Dq, mj, bsj,
+                                 compute_dtype=compute_dtype)
     I = jnp.zeros(n, jnp.int32)
     J = jnp.zeros(n, jnp.int32)
     LI = jnp.zeros(n, dtype)

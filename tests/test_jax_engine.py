@@ -126,6 +126,23 @@ def test_dnj_missing_data_early_stop():
     assert jaxt == exact
 
 
+@pytest.mark.parametrize("scan", ["seq", "batch"])
+def test_dnj_random_missing_byte_exact(scan, n=72):
+    """12% random missing cells: exercises updateD's one-sided
+    fallbacks, the non-advancing sD/N walker (both-missing cells), and
+    the out-of-row garbage read of nj.c:1022 — all reproduced by
+    _update_d_exact, so f64 device bytes must equal the host engine."""
+    rng = np.random.RandomState(31)
+    flat = rng.randint(1, 60, n * (n - 1) // 2).astype(np.float64)
+    flat[rng.rand(len(flat)) < 0.12] = -1.0
+    names = [Name(b"t%03d" % i, 32) for i in range(n)]
+    nb = [Name(x.data, x.cap) for x in names]
+    exact = build_tree(flat.copy(), n, names, "dnj")
+    jaxt = build_tree_jax(flat.copy(), n, nb, dtype=jnp.float64,
+                          scan=scan)
+    assert jaxt == exact
+
+
 def test_dnj_f32_runs(test_phy):
     """f32 device runs produce a valid complete tree."""
     n, flat, names, _ = _load_test_phy(test_phy)
