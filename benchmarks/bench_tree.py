@@ -24,7 +24,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def device_dnj(n: int, reps: int = 2, quantized: str | None = None) -> float:
+def device_dnj(n: int, reps: int = 2, quantized: str | None = None,
+               compile_run: bool = True) -> float:
     import jax
     import jax.numpy as jnp
     from ccphylo_tpu.tree.jax_engine import dnj_joins, dnj_joins_q, _pad
@@ -66,7 +67,8 @@ def device_dnj(n: int, reps: int = 2, quantized: str | None = None) -> float:
             I, J, LI, LJ, dl, _ = dnj_joins(D, jnp.int32(n), scan="batch")
         return int(I.sum())  # scalar fetch forces completion
 
-    run(0)  # compile
+    if compile_run:
+        run(0)  # compile
     best = float("inf")
     for r in range(reps):
         t0 = time.perf_counter()
@@ -75,7 +77,8 @@ def device_dnj(n: int, reps: int = 2, quantized: str | None = None) -> float:
     return best
 
 
-def device_dnj_packed(n: int, nb: int = 8, reps: int = 2) -> float:
+def device_dnj_packed(n: int, nb: int = 8, reps: int = 2,
+                      compile_run: bool = True) -> float:
     """u32-packed blocked u8 engine (the 100k-taxa single-chip path).
 
     Blocks are generated on device, one (R, W) buffer at a time, in
@@ -97,10 +100,13 @@ def device_dnj_packed(n: int, nb: int = 8, reps: int = 2) -> float:
                                jnp.float32, 0.0, 1.0)
         return x, y
 
+    # npad is a multiple of 128*nb (lcm padding), so R is always a
+    # multiple of 128; larger chunks when R allows it
+    CH = next(c for c in (512, 256, 128) if R % c == 0)
+
     @functools.partial(jax.jit, static_argnums=(1,))
     def make_block(key, b):
         x, y = embed(key)
-        CH = 512
 
         def chunk(_, c):
             rows = b * R + c * CH + jnp.arange(CH)
@@ -126,7 +132,8 @@ def device_dnj_packed(n: int, nb: int = 8, reps: int = 2) -> float:
             blocks, jnp.int32(n), jnp.asarray(bs, jnp.float32))
         return int(I.sum())  # scalar fetch forces completion
 
-    run(0)  # compile
+    if compile_run:
+        run(0)  # compile
     best = float("inf")
     for r in range(reps):
         t0 = time.perf_counter()
@@ -164,16 +171,23 @@ def main():
     ap.add_argument("--packed", action="store_true",
                     help="u32-packed blocked u8 engine")
     ap.add_argument("--blocks", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--no-compile-run", action="store_true",
+                    help="skip the warm-up run (huge n: time incl. "
+                         "segment-boundary recompiles, stated as such)")
     ap.add_argument("--with-c", default=None,
                     help="path to the reference ccphylo binary")
     args = ap.parse_args()
     n = args.n
+    cr = not args.no_compile_run
 
     if args.packed:
-        t_dev = device_dnj_packed(n, nb=args.blocks)
+        t_dev = device_dnj_packed(n, nb=args.blocks, reps=args.reps,
+                                  compile_run=cr)
         tag = f" [packed u8 x{args.blocks}]"
     else:
-        t_dev = device_dnj(n, quantized=args.quantized)
+        t_dev = device_dnj(n, quantized=args.quantized, reps=args.reps,
+                           compile_run=cr)
         tag = f" [{args.quantized}]" if args.quantized else ""
     joins = n - 2
     print(f"device dnj{tag}: n={n}  {t_dev:.3f}s  {joins / t_dev:,.0f} joins/s")

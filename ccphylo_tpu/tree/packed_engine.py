@@ -295,73 +295,102 @@ def _mk_one_join_packed(nb, R, W, m, bytescale, compute_dtype,
     return one_join
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype",),
-                   donate_argnums=(0,))
-def _packed_init(blocks, m, bytescale, compute_dtype=jnp.float32):
-    """initSummaD + initHNJ + seed over packed blocked storage
-    (complete matrix: N_k = m for every row)."""
-    nb = len(blocks)
-    R, W = blocks[0].shape
-    n = nb * R
+@functools.partial(jax.jit, static_argnames=("compute_dtype", "n"))
+def _init_sd_block(block, m, bytescale, row0, n, compute_dtype):
+    """Per-block initSummaD pass.  One block per XLA program: a
+    non-donated buffer threaded through a while loop gets a defensive
+    copy (measured: all 8 blocks copied at once in a whole-matrix init,
+    8 x 1.17 GiB -> 19.2 GB, compile-time OOM at n=100352); per-block
+    programs bound the transient to a single block."""
+    R, W = block.shape
+    dtype = jnp.dtype(compute_dtype)
+    idx = jnp.arange(n)
+    inv = jnp.asarray(1.0, dtype) / jnp.asarray(bytescale, dtype)
+    active0 = idx < m
+    CH = next(c for c in (512, 256, 128) if R % c == 0)
+    nch = R // CH
+
+    def _sd_chunk(_, c):
+        rows = row0 + c * CH + jnp.arange(CH)
+        Drows = _unpack_words(jax.lax.dynamic_slice(
+            block, (c * CH, 0), (CH, W))).astype(dtype) * inv
+        v = active0[None, :] & (rows[:, None] != idx[None, :])
+        # sequential accumulation order (initSummaD, nj.c:111-180)
+        return None, jnp.cumsum(jnp.where(v, Drows, 0),
+                                axis=1, dtype=dtype)[:, -1]
+
+    _, sDb = jax.lax.scan(_sd_chunk, None, jnp.arange(nch))
+    return sDb.reshape(R)
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype", "n"))
+def _init_qp_block(block, sD, m, bytescale, row0, n, compute_dtype):
+    """Per-block initHNJ row-cache pass (see _init_sd_block)."""
+    R, W = block.shape
     dtype = jnp.dtype(compute_dtype)
     big = jnp.asarray(np.finfo(dtype).max, dtype)
     idx = jnp.arange(n)
     inv = jnp.asarray(1.0, dtype) / jnp.asarray(bytescale, dtype)
-
-    def deq(byte_vals):
-        return byte_vals.astype(dtype) * inv
-
     active0 = idx < m
     CH = next(c for c in (512, 256, 128) if R % c == 0)
     nch = R // CH
     mt0 = (m - 2).astype(dtype)
 
-    sD_parts, Q_parts, P_parts = [], [], []
-    for b in range(nb):
-        def _sd_chunk(_, c, b=b):
-            rows = b * R + c * CH + jnp.arange(CH)
-            Drows = deq(_unpack_words(jax.lax.dynamic_slice(
-                blocks[b], (c * CH, 0), (CH, W))))
-            v = active0[None, :] & (rows[:, None] != idx[None, :])
-            # sequential accumulation order (initSummaD, nj.c:111-180)
-            return None, jnp.cumsum(jnp.where(v, Drows, 0),
-                                    axis=1, dtype=dtype)[:, -1]
+    def _qp_chunk(_, c):
+        rows = row0 + c * CH + jnp.arange(CH)
+        Drows = _unpack_words(jax.lax.dynamic_slice(
+            block, (c * CH, 0), (CH, W))).astype(dtype) * inv
+        lv = (active0[rows][:, None] & active0[None, :]
+              & (idx[None, :] < rows[:, None]))
+        Qm = jnp.where(lv, mt0 * Drows - sD[rows][:, None]
+                       - sD[None, :], big)
+        Qc = Qm.min(axis=1)
+        # initHNJ tie rule (hclust.c:110-116)
+        cand = lv & (Qm == Qc[:, None])
+        dmask = jnp.where(cand, Drows, big)
+        prefmin = jax.lax.cummin(dmask, axis=1)
+        sel = cand & (dmask == prefmin)
+        Pc = jnp.where(sel, idx[None, :], -1).max(axis=1) \
+            .astype(jnp.int32)
+        return None, (Qc, jnp.maximum(Pc, 0))
 
-        _, sDb = jax.lax.scan(_sd_chunk, None, jnp.arange(nch))
-        sD_parts.append(sDb.reshape(R))
-    sD = jnp.concatenate(sD_parts)
+    _, (Qb, Pb) = jax.lax.scan(_qp_chunk, None, jnp.arange(nch))
+    return Qb.reshape(R), Pb.reshape(R)
 
-    for b in range(nb):
-        def _qp_chunk(_, c, b=b):
-            rows = b * R + c * CH + jnp.arange(CH)
-            Drows = deq(_unpack_words(jax.lax.dynamic_slice(
-                blocks[b], (c * CH, 0), (CH, W))))
-            lv = (active0[rows][:, None] & active0[None, :]
-                  & (idx[None, :] < rows[:, None]))
-            Qm = jnp.where(lv, mt0 * Drows - sD[rows][:, None]
-                           - sD[None, :], big)
-            Qc = Qm.min(axis=1)
-            # initHNJ tie rule (hclust.c:110-116)
-            cand = lv & (Qm == Qc[:, None])
-            dmask = jnp.where(cand, Drows, big)
-            prefmin = jax.lax.cummin(dmask, axis=1)
-            sel = cand & (dmask == prefmin)
-            Pc = jnp.where(sel, idx[None, :], -1).max(axis=1) \
-                .astype(jnp.int32)
-            return None, (Qc, jnp.maximum(Pc, 0))
 
-        _, (Qb, Pb) = jax.lax.scan(_qp_chunk, None, jnp.arange(nch))
-        Q_parts.append(Qb.reshape(R))
-        P_parts.append(Pb.reshape(R))
-    Q = jnp.where(active0, jnp.concatenate(Q_parts), big)
-    P = jnp.concatenate(P_parts)
+def _packed_init(blocks, m, bytescale, compute_dtype=jnp.float32):
+    """initSummaD + initHNJ + seed over packed blocked storage
+    (complete matrix: N_k = m for every row).  Host-sequenced
+    per-block device programs — see _init_sd_block for why."""
+    nb = len(blocks)
+    R, _ = blocks[0].shape
+    n = nb * R
+    dtype = jnp.dtype(compute_dtype)
 
-    qrows = jnp.where((idx >= 1) & active0, Q, big)
-    mn0 = qrows.min()
-    seed0 = jnp.where(active0.sum() > 1,
-                      jnp.where(qrows == mn0, idx, -1).max(), 0) \
-        .astype(jnp.int32)
-    return blocks, sD, Q, P, seed0
+    sD = jnp.concatenate([
+        _init_sd_block(blocks[b], m, bytescale, jnp.int32(b * R), n=n,
+                       compute_dtype=compute_dtype) for b in range(nb)])
+    qp = [_init_qp_block(blocks[b], sD, m, bytescale, jnp.int32(b * R),
+                         n=n, compute_dtype=compute_dtype)
+          for b in range(nb)]
+    Q = jnp.concatenate([q for q, _ in qp])
+    P = jnp.concatenate([p for _, p in qp])
+
+    @jax.jit
+    def _seed(Q, P, m):
+        big = jnp.asarray(np.finfo(dtype).max, dtype)
+        idx = jnp.arange(n)
+        active0 = idx < m
+        Qa = jnp.where(active0, Q, big)
+        qrows = jnp.where((idx >= 1) & active0, Qa, big)
+        mn0 = qrows.min()
+        seed0 = jnp.where(active0.sum() > 1,
+                          jnp.where(qrows == mn0, idx, -1).max(), 0) \
+            .astype(jnp.int32)
+        return Qa, seed0
+
+    Q, seed0 = _seed(Q, P, m)
+    return sD, Q, P, seed0
 
 
 @functools.partial(jax.jit,
@@ -376,6 +405,35 @@ def _packed_segment(blocks, sD, Q, P, seed, I, J, LI, LJ, t0, t1, m,
                                    compute_dtype, neg_limbs)
     return jax.lax.fori_loop(t0, t1, one_join,
                              (blocks, sD, Q, P, seed, I, J, LI, LJ))
+
+
+def _normalize_layouts(blocks):
+    """Re-lay every block into the join programs' preferred layout
+    (major_to_minor=(0, 1) on TPU — what XLA layout assignment picks
+    for the init/segment access pattern), ONE AT A TIME so each copy's
+    source is freed before the next starts.
+
+    Producer programs (scan+reshape pipelines) can commit blocks with
+    the other major_to_minor; the init/segment programs then get a
+    layout-conversion copy of EVERY block at entry — 8 x 1.17 GiB
+    simultaneously live at n=100352, a measured compile-time HBM OOM.
+    Normalizing here bounds the transient to one block."""
+    if jax.default_backend() == "cpu":
+        return blocks  # CPU arrays have no tiled layouts to normalize
+    try:
+        from jax.experimental.layout import Format, Layout
+        want_layout = Layout(major_to_minor=(0, 1))
+    except Exception:
+        return blocks  # layout API unavailable (older jax)
+    out = []
+    for b in blocks:
+        fmt = getattr(b, "format", None)
+        if fmt is not None and getattr(fmt, "layout", None) is not None \
+                and tuple(fmt.layout.major_to_minor) != (0, 1):
+            b = jax.device_put(b, Format(want_layout, fmt.sharding))
+            jax.block_until_ready(b)
+        out.append(b)
+    return tuple(out)
 
 
 def dnj_joins_packed(blocks, m, bytescale, neg_limbs=False,
@@ -396,8 +454,9 @@ def dnj_joins_packed(blocks, m, bytescale, neg_limbs=False,
     m_host = int(m)
     mj = jnp.int32(m_host)
     bsj = jnp.asarray(bytescale, dtype)
-    blocks, sD, Q, P, seed = _packed_init(blocks, mj, bsj,
-                                          compute_dtype=compute_dtype)
+    blocks = _normalize_layouts(blocks)
+    sD, Q, P, seed = _packed_init(blocks, mj, bsj,
+                                  compute_dtype=compute_dtype)
     I = jnp.zeros(n, jnp.int32)
     J = jnp.zeros(n, jnp.int32)
     LI = jnp.zeros(n, dtype)
