@@ -221,39 +221,127 @@ def mask_motifs(packed: np.ndarray, inc: np.ndarray, length: int,
     return n
 
 
-METH_CODES = dict(zip("acgtursywkmbdhvxn",
-                      (1, 2, 4, 8, 8, 5, 10, 6, 9, 12, 3, 14, 13, 11, 7,
-                       15, 15)))
+# getMethBitTable (methparse.c:47-80): 4-bit IUPAC per base, |16 for
+# capital (methylation-site) letters
+_METH_TABLE = {}
+for _ch, _v in zip("acgturyswkmbdhvxn",
+                   (1, 2, 4, 8, 8, 5, 10, 6, 9, 12, 3, 14, 13, 11, 7,
+                    15, 15)):
+    _METH_TABLE[_ch] = _v
+    _METH_TABLE[_ch.upper()] = _v | 16
+
+# strrcMeth (methparse.c:84-101): complement of 5-bit codes (site flag
+# preserved)
+_METH_COMP = np.array(
+    [0, 8, 4, 12, 2, 10, 6, 14, 1, 9, 5, 13, 3, 11, 7, 15,
+     16, 24, 20, 28, 18, 26, 22, 30, 17, 25, 21, 29, 19, 27, 23, 31],
+    np.uint8)
+
+# qseq2methMotif's enumeration tables (methparse.c:185-186): nums =
+# membership count per 4-bit set (site flag ignored); bases = FIRST
+# member 2-bit code, then `code ^= 1 << member` steps to the next
+_METH_NUMS = [0, 1, 1, 2, 1, 2, 2, 3, 1, 2, 2, 3, 2, 3, 3, 4] * 2
+_METH_BASES = [0, 0, 1, 0, 2, 0, 1, 0, 3, 0, 1, 0, 2, 0, 1, 0]
+
+# The reference's remainder-variant loop reads bases[code | 16] for
+# CAPITAL positions — up to sixteen bytes PAST the 16-entry local
+# bases[] array (methparse.c:227-234, `base = *seq & 31` keeps the
+# site bit).  Both arrays are stack locals; in the oracle's compiled
+# qseq2methMotif (gcc -O3, the same methparse.o the test suite links)
+# nums[] sits directly after bases[] in the frame, so
+# bases[16 + k] == nums[k] — verified by dumping the motif words of a
+# probe binary linked against the oracle's libccphylo.a (capital C/G
+# remainder variants read 1 == nums[2]/nums[4], not the .rodata image
+# neighbors).  The read is OR'd into the motif word as a whole byte;
+# nums[15] = 4 leaks one bit into the preceding position's slot.
+_METH_GARBAGE = bytes(_METH_NUMS[:16])
+
+
+def _motif_members(codes5: np.ndarray):
+    """qseq2methMotif (methparse.c:179-249), reduced to per-position
+    accepted 2-bit code sets.
+
+    Builds the num variant words exactly (member enumeration, capital
+    remainder garbage bytes with their bit leaks, fence-post shift),
+    then extracts each position's final 2-bit code per variant.  The
+    matcher's per-slot mismatch marks AND'd across variants
+    (matchMotif32, meth.c:50-66) make a window match iff every
+    position's sequence code equals SOME variant's code there, so the
+    4-bit membership masks below are exact."""
+    mlen = len(codes5)
+    num = max(_METH_NUMS[c] for c in codes5)
+    nchunks = (mlen + 31) // 32
+    words = [[0] * num for _ in range(nchunks)]
+    site = np.zeros(mlen, bool)
+    for i, c in enumerate(codes5):
+        c = int(c)
+        ch = i // 32
+        base = c
+        if c & 16:
+            base = c ^ 16
+            site[i] = True
+        b = base
+        k = _METH_NUMS[base]
+        for v in range(k):
+            m = _METH_BASES[b]
+            words[ch][v] = (words[ch][v] << 2) | m
+            b ^= 1 << m
+        g = (_METH_GARBAGE[(c & 31) - 16] if (c & 31) >= 16
+             else _METH_BASES[c & 31])
+        for v in range(k, num):
+            words[ch][v] = (words[ch][v] << 2) | g
+    if mlen & 31:
+        sh = 2 * (32 - (mlen & 31))
+        last = nchunks - 1
+        for v in range(num):
+            words[last][v] <<= sh
+    member4 = np.zeros(mlen, np.uint8)
+    for i in range(mlen):
+        ch, q = i // 32, i % 32
+        for v in range(num):
+            code = (words[ch][v] >> (62 - 2 * q)) & 3
+            member4[i] |= np.uint8(1 << code)
+    return member4, site
+
+
+def _strrc_meth(codes5: np.ndarray) -> np.ndarray:
+    """strrcMeth (methparse.c:84-101) exactly, including its odd-length
+    in-place quirk: after the half-swap loop the pointer sits at index
+    h-1 (not the middle h), so the "middle" fixup double-complements
+    s[h-1] (restoring the uncomplemented s[h+1]) and the true middle
+    keeps its original (uncomplemented) code."""
+    s = codes5.copy()
+    q_len = len(s)
+    h = q_len >> 1
+    for k in range(h):
+        a, b = s[k], s[q_len - 1 - k]
+        s[k] = _METH_COMP[b]
+        s[q_len - 1 - k] = _METH_COMP[a]
+    if q_len & 1 and h >= 1:
+        s[h - 1] = _METH_COMP[s[h - 1]]
+    # q_len == 1: the fixup writes one byte BEFORE the buffer
+    # (methparse.c:92 --qseq with zero loop iterations) — a no-op on
+    # the motif itself
+    return s
 
 
 def parse_meth_motifs(data: bytes):
     """getMethMotifs (methparse.c:253-286): fasta of motifs; capital
-    letters mark methylation sites; returns [(codes4, site_bool)] with
-    reverse complements appended after each motif (prepend order of the
-    C linked list is irrelevant to the resulting mask)."""
+    letters mark methylation sites; returns [(member4, site_bool)]
+    with reverse complements appended after each motif (prepend order
+    of the C linked list is irrelevant to the resulting mask).
+    member4[i] = 4-bit set of accepted 2-bit codes at position i,
+    derived from the reference's exact variant words (see
+    _motif_members)."""
     motifs = []
     for chunk in data.split(b">"):
         lines = chunk.split(b"\n")
         seqraw = b"".join(lines[1:]) if len(lines) > 1 else lines[0]
-        seq = seqraw.translate(None, b" \t\r-.")
-        if not seq:
-            continue
-        codes = []
-        site = []
-        for b in seq:
-            ch = chr(b)
-            lo = ch.lower()
-            if lo not in METH_CODES:
-                continue
-            codes.append(METH_CODES[lo])
-            site.append(ch.isupper())
+        codes = [_METH_TABLE[chr(b)] for b in seqraw
+                 if chr(b) in _METH_TABLE]
         if not codes:
             continue
-        codes4 = np.array(codes, np.uint8)
-        site = np.array(site, bool)
-        motifs.append((codes4, site))
-        # reverse complement: complement of 4-bit sets, reversed order
-        comp = np.array([0, 8, 4, 12, 2, 10, 6, 14, 1, 9, 5, 13, 3, 11,
-                         7, 15], np.uint8)
-        motifs.append((comp[codes4][::-1].copy(), site[::-1].copy()))
+        codes5 = np.array(codes, np.uint8)
+        motifs.append(_motif_members(codes5))
+        motifs.append(_motif_members(_strrc_meth(codes5)))
     return motifs
