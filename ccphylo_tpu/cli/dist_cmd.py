@@ -90,12 +90,29 @@ DIST_HELP = """\
 
 class QuantCells:
     """Accumulates matrix cells with the reference dtype conversions;
-    yields the logical (printable) float64 values."""
+    yields the logical (printable) float64 values.
 
-    def __init__(self, dtype: str, bytescale: float):
+    With ``mmap_dir`` set (dist -H / -T, reference ltdMatrixMinit
+    matrix.c:116-231), cells stream to an unlinked temp file instead of
+    RAM — n(n-1)/2 float64 cells never build up in the heap."""
+
+    def __init__(self, dtype: str, bytescale: float,
+                 mmap_dir: str | None = None):
         self.dtype = dtype
         self.bs = bytescale
         self.vals: list[float] = []
+        self._disk = None
+        self._count = 0
+        if mmap_dir is not None:
+            import tempfile
+            self._disk = tempfile.TemporaryFile(dir=mmap_dir or None)
+
+    def _flush(self):
+        if self._disk is not None and self.vals:
+            self._disk.write(
+                np.asarray(self.vals, np.float64).tobytes())
+            self._count += len(self.vals)
+            self.vals.clear()
 
     def add(self, val: float, rnd: float = 0.5):
         dt = self.dtype
@@ -109,6 +126,8 @@ class QuantCells:
             with np.errstate(invalid="ignore"):
                 q = npdt(np.int64(stored)) if np.isfinite(stored) else npdt(0)
             self.vals.append(float(q) / self.bs)
+        if self._disk is not None and len(self.vals) >= 65536:
+            self._flush()
 
     def add_many(self, vals, rnd: float = 0.5):
         """Vectorized add() — same per-cell dtype conversions."""
@@ -126,8 +145,14 @@ class QuantCells:
                 q = np.where(np.isfinite(stored), stored, 0) \
                     .astype(np.int64).astype(npdt)
             self.vals.extend((q.astype(np.float64) / self.bs).tolist())
+        if self._disk is not None and len(self.vals) >= 65536:
+            self._flush()
 
     def array(self):
+        if self._disk is not None:
+            self._flush()
+            self._disk.seek(0)
+            return np.fromfile(self._disk, np.float64, self._count)
         return np.asarray(self.vals, np.float64)
 
 
@@ -148,6 +173,9 @@ def main_dist(argv: list[str]) -> int:
     diffilename = None
     min_cov = 0.5
     alpha = 0.05
+    threads = 1
+    use_mmap = False
+    tmpdir = ""
     method = "cos"
     bytescale = 1.0
     sep = "\t"
@@ -209,11 +237,11 @@ def main_dist(argv: list[str]) -> int:
                 dtype = "b"
                 bytescale = a.opt_float(bytescale)
             elif name == "mmap":
-                pass
+                use_mmap = True
             elif name == "tmp":
-                a.next_value("tmp")
+                tmpdir = a.next_value("tmp")
             elif name == "threads":
-                a.next_num("threads")
+                threads = a.next_num("threads")
             elif name == "help":
                 sys.stdout.write(HELP)
                 return 0
@@ -270,11 +298,11 @@ def main_dist(argv: list[str]) -> int:
                     dtype = "b"
                     bytescale = a.opt_float(bytescale)
                 elif opt == "H":
-                    pass
+                    use_mmap = True
                 elif opt == "T":
-                    a.next_value("T")
+                    tmpdir = a.next_value("T")
                 elif opt == "t":
-                    a.next_num("t")
+                    threads = a.next_num("t")
                 elif opt == "h":
                     sys.stdout.write(HELP)
                     return 0
@@ -309,7 +337,9 @@ def main_dist(argv: list[str]) -> int:
                bytescale=bytescale, precision=precision,
                incvariant=incvariant, methfilename=methfilename,
                diffilename=diffilename,
-               noutputfilename=noutputfilename, sep=sep)
+               noutputfilename=noutputfilename, sep=sep,
+               threads=max(int(threads), 1),
+               mmap_dir=(tmpdir if use_mmap else None))
 
     if addfilename and filenames:
         return add2matrix(filenames[0], addfilename, outputfilename,
@@ -384,13 +414,33 @@ def make_matrix(filenames, outputfilename, target, cfg) -> int:
     return 0
 
 
+def _pair_map(threads: int, fn, js):
+    """Compute fn(j) for every j — in a thread pool under dist -t
+    (ltdmatrixthrd.c:182-376's pthread cell workers; numpy/zlib release
+    the GIL) — and yield (j, result) in ascending-j order so sentinel
+    handling and stderr messages stay byte-deterministic regardless of
+    thread count (the reference guarantees result determinism the same
+    way: each cell is independent, only the cursor is shared)."""
+    js = list(js)
+    if threads <= 1 or len(js) <= 1:
+        for j in js:
+            yield j, fn(j)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=threads) as pool:
+        for j, res in zip(js, pool.map(fn, js)):
+            yield j, res
+
+
 def mat_pairwise_matrix(filenames, target, include, cfg):
     """ltdMatrixThrd (ltdmatrixthrd.c:376-562): .mat multi-file matrix."""
     min_depth = cfg["min_depth"]
     min_length = cfg["min_length"]
     min_cov = cfg["min_cov"]
-    D = QuantCells(cfg["dtype"], cfg["bytescale"])
-    N = QuantCells(cfg["dtype"], cfg["bytescale"])
+    D = QuantCells(cfg["dtype"], cfg["bytescale"],
+                   mmap_dir=cfg.get("mmap_dir"))
+    N = QuantCells(cfg["dtype"], cfg["bytescale"],
+                   mmap_dir=cfg.get("mmap_dir"))
     stripped = {}
     # batched device path for metrics with a VPU kernel
     device_pairs = None
@@ -448,14 +498,16 @@ def mat_pairwise_matrix(filenames, target, include, cfg):
                 mat1 = tm.stripped()
                 stripped[i] = mat1
                 if device_pairs is None:
-                    for j in range(i):
-                        if not include[j]:
-                            continue
+                    def one(j, mat1=mat1):
                         mat2 = stripped[j]
-                        dist, rinc = cmp_mats(
+                        return cmp_mats(
                             mat1.counts, mat1.totals, mat2.counts,
                             mat2.totals, cfg["norm"], min_depth,
                             min_length, min_cov, cfg["veccmp"])
+
+                    js = [j for j in range(i) if include[j]]
+                    for j, (dist, rinc) in _pair_map(
+                            cfg.get("threads", 1), one, js):
                         _emit_mat_pair(D, N, dist, rinc, target,
                                        filenames, i, j)
                 else:
@@ -649,8 +701,10 @@ def fsa_matrix(filenames, target, include, cfg, diff, headers=None):
     pair = bool(cfg["flag"] & 2)
     (seqs, includes, shared_inc, length, min_length,
      include) = _fsa_load_samples(filenames, target, include, cfg)
-    D = QuantCells(cfg["dtype"], cfg["bytescale"])
-    N = QuantCells(cfg["dtype"], cfg["bytescale"])
+    D = QuantCells(cfg["dtype"], cfg["bytescale"],
+                   mmap_dir=cfg.get("mmap_dir"))
+    N = QuantCells(cfg["dtype"], cfg["bytescale"],
+                   mmap_dir=cfg.get("mmap_dir"))
     norm = cfg["norm"]
     n_inc = sum(1 for x in include if x)
     if not n_inc:
@@ -815,8 +869,10 @@ def mat_union_matrix(files, target, include, cfg):
     min_depth = cfg["min_depth"]
     min_length = cfg["min_length"]
     min_cov = cfg["min_cov"]
-    D = QuantCells(cfg["dtype"], cfg["bytescale"])
-    N = QuantCells(cfg["dtype"], cfg["bytescale"])
+    D = QuantCells(cfg["dtype"], cfg["bytescale"],
+                   mmap_dir=cfg.get("mmap_dir"))
+    N = QuantCells(cfg["dtype"], cfg["bytescale"],
+                   mmap_dir=cfg.get("mmap_dir"))
     stripped = {}
 
     def get_stripped(j):
@@ -843,17 +899,21 @@ def mat_union_matrix(files, target, include, cfg):
                 stripped[i] = tm.stripped()
         if include[i]:
             mat1 = stripped[i]
-            for j in range(i):
-                if not include[j]:
-                    continue
+
+            def one(j, mat1=mat1):
                 mat2 = get_stripped(j)
                 if mat2 is None:
-                    dist, rinc = -2.0, 0
-                else:
-                    dist, rinc = cmp_mats(
-                        mat1.counts, mat1.totals, mat2.counts,
-                        mat2.totals, cfg["norm"], min_depth, min_length,
-                        min_cov, cfg["veccmp"])
+                    return -2.0, 0
+                return cmp_mats(
+                    mat1.counts, mat1.totals, mat2.counts,
+                    mat2.totals, cfg["norm"], min_depth, min_length,
+                    min_cov, cfg["veccmp"])
+
+            js = [j for j in range(i) if include[j]]
+            for j in js:
+                get_stripped(j)  # sequential loads (shared parse cache)
+            for j, (dist, rinc) in _pair_map(cfg.get("threads", 1),
+                                             one, js):
                 if dist < 0:
                     if dist == -1.0:
                         print("No sufficient overlap between samples:\t"
@@ -950,8 +1010,10 @@ def msa_matrix(filenames, out, nout, cfg, diff) -> None:
                 ref = seq
 
     n = len(seqs)
-    D = QuantCells(cfg["dtype"], cfg["bytescale"])
-    N = QuantCells(cfg["dtype"], cfg["bytescale"])
+    D = QuantCells(cfg["dtype"], cfg["bytescale"],
+                   mmap_dir=cfg.get("mmap_dir"))
+    N = QuantCells(cfg["dtype"], cfg["bytescale"],
+                   mmap_dir=cfg.get("mmap_dir"))
     norm = cfg["norm"]
     have_n = False
     if not n:

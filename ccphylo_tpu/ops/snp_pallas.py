@@ -1,42 +1,70 @@
-"""Pallas TPU kernel: fully fused one-hot SNP Gram matmul.
+"""Pallas TPU kernel: shift-major one-hot expansion + triangular
+row-block Gram dots for the all-pairs SNP count.
 
 The all-pairs SNP count is an int8 Gram matmul over one-hot base
-planes (ops/snp_jax.py; reference kernel fsacmp.c:552-633).  Earlier
-rounds materialized the expanded one-hot X (16x the packed bytes) in
-HBM and fed it to an XLA matmul; the expansion HBM writes capped the
-pipeline at ~30% of int8 MXU peak (VERDICT r2 item 4).
+planes (ops/snp_jax.py; reference kernel fsacmp.c:552-633).  Two
+measured facts (round 3, v5e) shape this design:
 
-This kernel fuses the expansion into the matmul:
+  * XLA's int8 dot runs at ~183 T-MACs/s (93% of the 197 T-MAC int8
+    peak); a Pallas/Mosaic `dot_general` on the same int8 operands
+    reaches only ~93 T-MACs/s (half rate) — so the contraction belongs
+    to XLA, not to a fused Pallas kernel.
+  * XLA's own one-hot expansion materializes cross-lane interleaves;
+    the Pallas expansion kernel below emits a *shift-major* layout
+    ([shift][plane][word] segments, pure elementwise per u32 tile) and
+    runs at HBM write bandwidth.  The Gram product is invariant under
+    any column permutation applied to both operands, so the layout is
+    free.
 
-  * grid = (triangular tile pairs, genome chunks).  Scalar-prefetched
-    block indices (ti, tj) enumerate only tile pairs with ti >= tj —
-    the Gram matrix is symmetric, so the upper-triangle tiles (half
-    the MXU work of the old full-Gram formulation) are never computed;
-    the caller mirrors the lower triangle.
-  * per step, two packed (T, WB)-u32 tiles are DMA'd to VMEM and
-    expanded to shift-major one-hot (T, 64*WB) int8 *in VMEM scratch*
-    (pure VPU shift/compare arithmetic, zero cross-lane movement),
-    then contracted on the MXU with int32 accumulation into the
-    revisited output tile.  X never exists in HBM.
+The Gram matrix is symmetric, so the matmul enumerates only
+lower-triangular row blocks: per genome chunk, block i contracts
+against blocks 0..i in one (B, K) x (K, (i+1)B) dot — 0.5 + 1/(2*nblk)
+of the full-Gram MACs.  The caller mirrors the lower triangle.
 
-The Gram product is invariant under any column permutation applied to
-both operands, so the shift-major segment order ([shift][plane][word])
-needs no interleave.  Counts are bit-for-bit identical to
-ops/snp_jax.snp_matrix / snp_matrix_pairwise (tested).
+Counts are bit-for-bit identical to ops/snp_jax.snp_matrix /
+snp_matrix_pairwise (tested; integer accumulation throughout).
 """
 
 from __future__ import annotations
 
 import functools
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WCHUNK = 128   # u32 words per k step (2048 bases) at the default tile
+TI = 128   # sample rows per expansion tile
+WB = 512   # u32 words per expansion tile (8192 bases)
+BLK = 512  # row-block height of the triangular Gram dots
+
+
+def _expand_kernel_shared(seq_ref, pm_ref, x_ref):
+    # no M output: under a shared mask the include plane is identical
+    # for every sample, so npos comes from a popcount of the mask
+    # words instead of an (n, 16W) buffer of duplicate rows
+    w = seq_ref[:]                                  # (TI, WB) uint32
+    pm = jnp.broadcast_to(pm_ref[:], w.shape)       # shared mask row
+    for k in range(16):
+        sh = jnp.uint32(30 - 2 * k)
+        b = (w >> sh) & jnp.uint32(3)
+        inc = (pm >> sh) & jnp.uint32(1)
+        for c in range(4):
+            x_ref[:, (k * 4 + c) * WB:(k * 4 + c + 1) * WB] = \
+                ((b == c) & (inc == 1)).astype(jnp.int8)
+
+
+def _expand_kernel_pairwise(seq_ref, pm_ref, x_ref, m_ref):
+    w = seq_ref[:]
+    pm = pm_ref[:]                                  # per-sample masks
+    for k in range(16):
+        sh = jnp.uint32(30 - 2 * k)
+        b = (w >> sh) & jnp.uint32(3)
+        inc = (pm >> sh) & jnp.uint32(1)
+        m_ref[:, k * WB:(k + 1) * WB] = inc.astype(jnp.int8)
+        for c in range(4):
+            x_ref[:, (k * 4 + c) * WB:(k * 4 + c + 1) * WB] = \
+                ((b == c) & (inc == 1)).astype(jnp.int8)
 
 
 def available() -> bool:
@@ -44,93 +72,75 @@ def available() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _tile_rows(wchunk: int, pairwise: bool = False) -> int:
-    """Rows per tile bounded by a VMEM budget: the kernel keeps
-    2 one-hot scratches of (T, 64*wchunk) int8 (+2 mask planes of
-    (T, 16*wchunk) for pairwise), the int32 output tile(s), and the
-    double-buffered packed input tiles on chip.  ~10 MiB of scratch
-    leaves pipelining headroom in 16 MiB of VMEM (the v5e limit is
-    enforced per-kernel; measured: T=512 pairwise at wchunk=128 wants
-    23.8 MiB and fails to compile)."""
-    bytes_per_row = (2 * 64 + (2 * 16 if pairwise else 0)) * wchunk
-    budget = (5 if pairwise else 10) * 1024 * 1024
-    t = budget // bytes_per_row
-    return int(max(128, min(512, (t // 128) * 128)))
+def _expand(seqs, masks, pairwise: bool):
+    """(n, W) u32 + masks -> shift-major one-hot X (n, 64W) int8 and
+    include plane M (n|1, 16W) int8."""
+    n, W = seqs.shape
+    assert n % TI == 0 and W % WB == 0, (n, W)
+    grid = (n // TI, W // WB)
+    seq_spec = pl.BlockSpec((TI, WB), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((TI, 64 * WB), lambda i, j: (i, j),
+                          memory_space=pltpu.VMEM)
+    # non-TPU backends run the kernel in the Pallas interpreter (used
+    # by the CPU test suite; production CPU paths use ops/snp_jax or
+    # ops/snp instead)
+    interp = not available()
+    if pairwise:
+        X, M = pl.pallas_call(
+            _expand_kernel_pairwise,
+            grid=grid,
+            in_specs=[seq_spec,
+                      pl.BlockSpec((TI, WB), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[x_spec,
+                       pl.BlockSpec((TI, 16 * WB), lambda i, j: (i, j),
+                                    memory_space=pltpu.VMEM)],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, 64 * W), jnp.int8),
+                jax.ShapeDtypeStruct((n, 16 * W), jnp.int8),
+            ],
+            interpret=interp,
+        )(seqs, masks)
+        return X, M
+    X = pl.pallas_call(
+        _expand_kernel_shared,
+        grid=grid,
+        in_specs=[seq_spec,
+                  pl.BlockSpec((1, WB), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 64 * W), jnp.int8),
+        interpret=interp,
+    )(seqs, masks)
+    return X, None
 
 
-def _tri_blocks(nblk: int):
-    """Lower-triangular tile-pair enumeration ti >= tj, k-reuse order."""
-    ti, tj = np.tril_indices(nblk)
-    return (np.stack([ti, tj]).astype(np.int32),)
+def _tri_dot_acc(acc, X, nblk, B):
+    """acc += lower-triangular row-block Gram of X: block i contracts
+    against blocks 0..i in one XLA int8 dot (full MXU rate); the upper
+    triangle of acc is never touched."""
+    for i in range(nblk):
+        Xi = jax.lax.slice_in_dim(X, i * B, (i + 1) * B)
+        Xj = jax.lax.slice_in_dim(X, 0, (i + 1) * B)
+        part = jax.lax.dot_general(Xi, Xj, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+        acc = jax.lax.dynamic_update_slice(
+            acc,
+            jax.lax.dynamic_slice(acc, (i * B, 0), (B, (i + 1) * B))
+            + part,
+            (i * B, 0))
+    return acc
 
 
-def _expand_into(x_ref, w, inc, WB):
-    """Expand (T, WB) u32 words under (T, WB) u32 include bits into the
-    (T, 64*WB) int8 one-hot scratch, shift-major segment order."""
-    one = jnp.uint32(1)
-    for k in range(16):
-        sh = jnp.uint32(30 - 2 * k)
-        b = (w >> sh) & jnp.uint32(3)
-        ib = ((inc >> sh) & one) != 0
-        for c in range(4):
-            seg = (b == c) & ib
-            x_ref[:, (k * 4 + c) * WB:(k * 4 + c + 1) * WB] = \
-                seg.astype(jnp.int8)
+def _mirror_tril(G):
+    """Rebuild the full symmetric matrix from the computed lower
+    triangle (upper blocks were never written)."""
+    return jnp.tril(G) + jnp.tril(G, -1).T
 
 
-def _dotT(a, b):
-    """(T, K) int8 x (T, K) int8 -> (T, T) int32 Gram tile on the MXU."""
-    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.int32)
-
-
-def _kernel_shared(ij_ref, sa_ref, sb_ref, pm_ref, out_ref, xa, xb):
-    k = pl.program_id(1)
-    WB = sa_ref.shape[1]
-    pm = jnp.broadcast_to(pm_ref[:], sa_ref.shape)
-    _expand_into(xa, sa_ref[:], pm, WB)
-    _expand_into(xb, sb_ref[:], pm, WB)
-    part = _dotT(xa[:], xb[:])
-
-    @pl.when(k == 0)
-    def _():
-        out_ref[:] = part
-
-    @pl.when(k > 0)
-    def _():
-        out_ref[:] += part
-
-
-def _kernel_pairwise(ij_ref, sa_ref, sb_ref, ma_ref, mb_ref,
-                     out_ref, nout_ref, xa, xb, ia, ib):
-    k = pl.program_id(1)
-    WB = sa_ref.shape[1]
-    ma, mb = ma_ref[:], mb_ref[:]
-    _expand_into(xa, sa_ref[:], ma, WB)
-    _expand_into(xb, sb_ref[:], mb, WB)
-    one = jnp.uint32(1)
-    for kk in range(16):
-        sh = jnp.uint32(30 - 2 * kk)
-        ia[:, kk * WB:(kk + 1) * WB] = \
-            (((ma >> sh) & one) != 0).astype(jnp.int8)
-        ib[:, kk * WB:(kk + 1) * WB] = \
-            (((mb >> sh) & one) != 0).astype(jnp.int8)
-    part = _dotT(xa[:], xb[:])
-    npart = _dotT(ia[:], ib[:])
-
-    @pl.when(k == 0)
-    def _():
-        out_ref[:] = part
-        nout_ref[:] = npart
-
-    @pl.when(k > 0)
-    def _():
-        out_ref[:] += part
-        nout_ref[:] += npart
-
-
-def _pad_rows(a, T):
-    pad = (-a.shape[0]) % T
+def _pad_rows(a, B):
+    pad = (-a.shape[0]) % B
     if pad:
         a = jnp.pad(a, ((0, pad), (0, 0)))
     return a
@@ -144,107 +154,75 @@ def _pad_w(a, wchunk):
     return a, (W + pad) // wchunk
 
 
-def _mirror_tril(G):
-    """Rebuild the full symmetric matrix from the computed lower
-    triangle (upper tile blocks were never visited)."""
-    L = jnp.tril(G)
-    return L + jnp.tril(G, -1).T
+def _chunk_words(npad: int, wchunk: int | None) -> int:
+    """Words per accumulation chunk: keep the expanded X chunk
+    (npad x 64*wc int8) around ~512 MiB, in WB multiples."""
+    if wchunk is not None:
+        return max(WB, (wchunk // WB) * WB)
+    wc = (512 * 1024 * 1024) // (64 * npad)
+    return int(max(WB, min(2048, (wc // WB) * WB)))
 
 
 @functools.partial(jax.jit, static_argnames=("wchunk",))
-def snp_matrix(seqs, paircmask, wchunk: int = WCHUNK):
-    """All-pairs SNP counts, shared mask — fused Pallas kernel.
+def snp_matrix(seqs, paircmask, wchunk: int | None = None):
+    """All-pairs SNP counts, shared mask — Pallas expansion +
+    triangular XLA Gram dots.
 
     Same contract and identical integer results as
     ops/snp_jax.snp_matrix.
     """
     n, _ = seqs.shape
-    T = _tile_rows(wchunk)
-    seqs = _pad_rows(seqs, T)
+    B = BLK if n > BLK else max(TI, -(-n // TI) * TI)
+    seqs = _pad_rows(seqs, B)
     np_ = seqs.shape[0]
-    seqs, nc = _pad_w(seqs, wchunk)
-    pm, _ = _pad_w(paircmask[None, :], wchunk)
-    nblk = np_ // T
-    (ij,) = _tri_blocks(nblk)
-    ntri = ij.shape[1]
+    nblk = np_ // B
+    wc = _chunk_words(np_, wchunk)
+    seqs, nc = _pad_w(seqs, wc)
+    pm, _ = _pad_w(paircmask[None, :], wc)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(ntri, nc),
-        in_specs=[
-            pl.BlockSpec((T, wchunk), lambda t, k, ij: (ij[0, t], k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, wchunk), lambda t, k, ij: (ij[1, t], k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wchunk), lambda t, k, ij: (0, k),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (T, T), lambda t, k, ij: (ij[0, t], ij[1, t]),
-            memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((T, 64 * wchunk), jnp.int8),
-            pltpu.VMEM((T, 64 * wchunk), jnp.int8),
-        ],
-    )
-    matches = pl.pallas_call(
-        _kernel_shared,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((np_, np_), jnp.int32),
-        interpret=not available(),
-    )(jnp.asarray(ij), seqs, seqs, pm)
-    npos = jax.lax.population_count(
-        pm & jnp.uint32(0x55555555)).sum(dtype=jnp.int32)
+    def body(c, w):
+        blk = jax.lax.dynamic_slice(seqs, (0, w * wc), (np_, wc))
+        mblk = jax.lax.dynamic_slice(pm, (0, w * wc), (1, wc))
+        X, _ = _expand(blk, mblk, pairwise=False)
+        # include bits live at even positions of the pair mask
+        npos_c = jax.lax.population_count(
+            mblk & jnp.uint32(0x55555555)).sum(dtype=jnp.int32)
+        return (_tri_dot_acc(c[0], X, nblk, B),
+                c[1] + npos_c.astype(jnp.int32)), None
+
+    (matches, npos), _ = jax.lax.scan(
+        body, (jnp.zeros((np_, np_), jnp.int32), jnp.int32(0)),
+        jnp.arange(nc))
     return (npos - _mirror_tril(matches))[:n, :n]
 
 
 @functools.partial(jax.jit, static_argnames=("wchunk",))
-def snp_matrix_pairwise(seqs, incmasks, wchunk: int = WCHUNK):
-    """All-pairs (dist, shared) with per-sample masks — fused kernel.
+def snp_matrix_pairwise(seqs, incmasks, wchunk: int | None = None):
+    """All-pairs (dist, shared) with per-sample masks — Pallas
+    expansion + triangular XLA Gram dots.
 
     Same contract and identical integer results as
     ops/snp_jax.snp_matrix_pairwise.
     """
     n, _ = seqs.shape
-    T = _tile_rows(wchunk, pairwise=True)
-    seqs = _pad_rows(seqs, T)
-    incmasks = _pad_rows(incmasks, T)
+    B = BLK if n > BLK else max(TI, -(-n // TI) * TI)
+    seqs = _pad_rows(seqs, B)
+    incmasks = _pad_rows(incmasks, B)
     np_ = seqs.shape[0]
-    seqs, nc = _pad_w(seqs, wchunk)
-    incmasks, _ = _pad_w(incmasks, wchunk)
-    nblk = np_ // T
-    (ij,) = _tri_blocks(nblk)
-    ntri = ij.shape[1]
+    nblk = np_ // B
+    wc = _chunk_words(np_, wchunk)
+    seqs, nc = _pad_w(seqs, wc)
+    incmasks, _ = _pad_w(incmasks, wc)
 
-    seq_a = pl.BlockSpec((T, wchunk), lambda t, k, ij: (ij[0, t], k),
-                         memory_space=pltpu.VMEM)
-    seq_b = pl.BlockSpec((T, wchunk), lambda t, k, ij: (ij[1, t], k),
-                         memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(ntri, nc),
-        in_specs=[seq_a, seq_b, seq_a, seq_b],
-        out_specs=[
-            pl.BlockSpec((T, T), lambda t, k, ij: (ij[0, t], ij[1, t]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, T), lambda t, k, ij: (ij[0, t], ij[1, t]),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((T, 64 * wchunk), jnp.int8),
-            pltpu.VMEM((T, 64 * wchunk), jnp.int8),
-            pltpu.VMEM((T, 16 * wchunk), jnp.int8),
-            pltpu.VMEM((T, 16 * wchunk), jnp.int8),
-        ],
-    )
-    matches, shared = pl.pallas_call(
-        _kernel_pairwise,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((np_, np_), jnp.int32),
-            jax.ShapeDtypeStruct((np_, np_), jnp.int32),
-        ],
-        interpret=not available(),
-    )(jnp.asarray(ij), seqs, seqs, incmasks, incmasks)
+    def body(c, w):
+        blk = jax.lax.dynamic_slice(seqs, (0, w * wc), (np_, wc))
+        mblk = jax.lax.dynamic_slice(incmasks, (0, w * wc), (np_, wc))
+        X, M = _expand(blk, mblk, pairwise=True)
+        return (_tri_dot_acc(c[0], X, nblk, B),
+                _tri_dot_acc(c[1], M, nblk, B)), None
+
+    (matches, shared), _ = jax.lax.scan(
+        body, (jnp.zeros((np_, np_), jnp.int32),
+               jnp.zeros((np_, np_), jnp.int32)), jnp.arange(nc))
     shared = _mirror_tril(shared)
     return (shared - _mirror_tril(matches))[:n, :n], shared[:n, :n]

@@ -67,6 +67,29 @@ MAT_ARGS = [
     ["-s", "1e2"], ["-b", "16"], ["-p"],
 ]
 
+# -t thread-pools the host pair loop; -H streams D/N cells to disk —
+# both must leave every byte unchanged.  The oracle runs WITHOUT these
+# flags: its output is thread-count/storage invariant, and its
+# spin-lock pool can livelock on tiny inputs.
+TH_ARGS = [
+    (["-d", "z"], ["-d", "z", "-t", "4"]),
+    (["-d", "z"], ["-d", "z", "-H"]),
+    (["-s", "1e2"], ["-t", "3", "-H", "-s", "1e2"]),
+]
+
+
+@pytest.mark.parametrize("base,extra", TH_ARGS)
+def test_mat_matrix_threads_mmap(oracle, kma_dir, tmp_path, base, extra):
+    files = [Path(f).name for f in _files(kma_dir, "mat.gz")]
+    rphy, ophy = tmp_path / "r.phy", tmp_path / "o.phy"
+    rnum, onum = tmp_path / "r.num", tmp_path / "o.num"
+    _run_oracle_cwd(oracle, ["dist", "-i"] + files + ["-r", "tpl1"]
+                    + base + ["-o", str(rphy), "-n", str(rnum)], kma_dir)
+    _run_ours_cwd(["dist", "-i"] + files + ["-r", "tpl1"] + extra
+                  + ["-o", str(ophy), "-n", str(onum)], kma_dir)
+    assert ophy.read_bytes() == rphy.read_bytes()
+    assert onum.read_bytes() == rnum.read_bytes()
+
 
 @pytest.mark.parametrize("extra", FSA_ARGS)
 def test_fsa_matrix(oracle, kma_dir, tmp_path, extra):
