@@ -457,8 +457,12 @@ def sharded_dnj_records(D: np.ndarray, n: int, mesh: Mesh,
     Dp = np.full((npad, npad), -1.0, dt)
     Dp[:n, :n] = D[:n, :n]
     np.fill_diagonal(Dp[:n, :n], 0.0)
-    Dd = jax.device_put(jnp.asarray(Dp),
-                        NamedSharding(mesh, P(axis, None)))
+    # every process holds the full host matrix; each contributes its
+    # addressable shards (multi-process safe, unlike a plain
+    # device_put onto a global sharding)
+    Dd = jax.make_array_from_callback(
+        Dp.shape, NamedSharding(mesh, P(axis, None)),
+        lambda idx: Dp[idx])
     prog = _dnj_program(mesh, axis, npad, n, dt.name, neg)
     out = prog(Dd)
     return tuple(np.asarray(x) for x in out)
