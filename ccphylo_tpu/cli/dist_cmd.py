@@ -339,7 +339,7 @@ def main_dist(argv: list[str]) -> int:
                diffilename=diffilename,
                noutputfilename=noutputfilename, sep=sep,
                threads=max(int(threads), 1),
-               mmap_dir=(tmpdir if use_mmap else None))
+               mmap_dir=(tmpdir if use_mmap else None), alpha=alpha)
 
     if addfilename and filenames:
         return add2matrix(filenames[0], addfilename, outputfilename,
@@ -444,9 +444,11 @@ def mat_pairwise_matrix(filenames, target, include, cfg):
     stripped = {}
     # batched device path for metrics with a VPU kernel
     device_pairs = None
+    dev_spec = None
     if _use_device():
-        from ..ops.matdist_jax import METRICS as _DEV_METRICS
-        if cfg["method"] in _DEV_METRICS:
+        from ..ops.matdist_jax import resolve_metric
+        dev_spec = resolve_metric(cfg["method"], cfg.get("alpha", 0.05))
+        if dev_spec is not None:
             device_pairs = []
 
     def load(i):
@@ -523,7 +525,7 @@ def mat_pairwise_matrix(filenames, target, include, cfg):
         from ..ops.matdist_jax import pair_table, cmp_mats_from_table
         order = sorted(stripped)
         pos_of = {s: a for a, s in enumerate(order)}
-        S, R = pair_table(cfg["method"],
+        S, R = pair_table(dev_spec,
                           [stripped[s].counts for s in order],
                           [stripped[s].totals for s in order],
                           min_depth)
@@ -874,17 +876,47 @@ def mat_union_matrix(files, target, include, cfg):
     N = QuantCells(cfg["dtype"], cfg["bytescale"],
                    mmap_dir=cfg.get("mmap_dir"))
     stripped = {}
+    raw = {}
+
+    def load_raw(s):
+        if s not in raw:
+            raw[s] = kma.load_mat_template(files[s], target)
+        return raw[s]
 
     def get_stripped(j):
         if j not in stripped:
-            tm = kma.load_mat_template(files[j], target)
+            tm = load_raw(j)
             stripped[j] = tm.stripped() if tm is not None else None
         return stripped[j]
 
     num_file = len(include)
+
+    # union-mode device batching: one all-pairs metric table over the
+    # loadable samples; the stateful -2 exclusion walk below stays on
+    # the host (pair values are exclusion-independent, only which
+    # pairs get EMITTED depends on the walk)
+    table = None
+    if _use_device():
+        from ..ops.matdist_jax import resolve_metric
+        dev_spec = resolve_metric(cfg["method"], cfg.get("alpha", 0.05))
+        if dev_spec is not None:
+            from ..utils.jaxconfig import configure_jax
+            configure_jax()
+            from ..ops.matdist_jax import (pair_table,
+                                           cmp_mats_from_table)
+            order = [s for s in range(num_file)
+                     if include[s] and get_stripped(s) is not None]
+            pos_of = {s: a for a, s in enumerate(order)}
+            S, R = pair_table(dev_spec,
+                              [stripped[s].counts for s in order],
+                              [stripped[s].totals for s in order],
+                              min_depth)
+            nnucs = {s: stripped[s].n_nucs(min_depth) for s in order}
+            table = (S, R, pos_of, nnucs, cmp_mats_from_table)
+
     for i in range(1, num_file):
         if include[i]:
-            tm = kma.load_mat_template(files[i], target)
+            tm = load_raw(i)
             if tm is None:
                 print(f'Template ("{target.decode()}") was not found in '
                       f"sample:\t{files[i]}", file=sys.stderr)
@@ -900,10 +932,20 @@ def mat_union_matrix(files, target, include, cfg):
         if include[i]:
             mat1 = stripped[i]
 
-            def one(j, mat1=mat1):
+            def one(j, mat1=mat1, i=i):
                 mat2 = get_stripped(j)
                 if mat2 is None:
                     return -2.0, 0
+                if table is not None:
+                    S, R, pos_of, nnucs, from_table = table
+                    if mat2.length > mat1.length:
+                        # cmpMats' 'sample2 longer' sentinel
+                        # (matcmp.c:469-471)
+                        return -1.0, int(mat2.totals[mat1.length])
+                    return from_table(
+                        S, R, pos_of[i], pos_of[j], mat1.length,
+                        mat2.length, nnucs[j], cfg["norm"], min_depth,
+                        min_length, min_cov)
                 return cmp_mats(
                     mat1.counts, mat1.totals, mat2.counts,
                     mat2.totals, cfg["norm"], min_depth, min_length,

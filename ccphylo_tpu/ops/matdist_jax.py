@@ -145,12 +145,122 @@ def _m_nc(a, b, t1, t2, n1, n2):
             (tt1 > 0) & (tt2 > 0))
 
 
+_FASTP_EDGES_F32 = None
+
+
+def _p_chisqr(q):
+    """p_chisqr (stdstat.c:132-142) on device: the exact erf branch in
+    float32 plus the fastp table chain (stdstat.c:33-129) for q > 49.
+    Float32 p-values can differ from the host's float64 in the last
+    ulps — threshold comparisons (z's alpha gate) can flip only for
+    borderline columns; the device .mat path is opt-in and documented
+    non-byte-parity."""
+    from ..ops.veccmp import _FASTP_EDGES, SQRT_PI
+    p = jnp.ones_like(q)
+    for edge, val in reversed(_FASTP_EDGES):
+        p = jnp.where(q > edge, jnp.float32(val), p)
+    exact = 1.0 - jnp.float32(1.772453850) \
+        * jax.scipy.special.erf(jnp.sqrt(0.5 * jnp.abs(q))) \
+        / jnp.float32(SQRT_PI)
+    return jnp.where(q < 0, jnp.float32(1e-26),
+                     jnp.where(q > 49, p, exact))
+
+
+def _m_z_factory(alpha: float):
+    def _m_z(a, b, t1, t2, n1, n2):
+        """zcmp (matcmp.c:311-344): consensus comparison gated on the
+        chi-square majority test; the reference's second majority check
+        reuses tot1/max1 (matcmp.c:338) — reproduced.  Note a/b/t here
+        are the RAW counts/totals (z uses totals incl. N)."""
+        max1 = a.max(-1)
+        max2 = b.max(-1)
+        q1 = jnp.where(t1 > 0, (t1 - 2 * max1) ** 2
+                       / jnp.where(t1 > 0, t1, 1.0), jnp.inf)
+        q2 = jnp.where(t2 > 0, (t2 - 2 * max2) ** 2
+                       / jnp.where(t2 > 0, t2, 1.0), jnp.inf)
+        maj1 = t1 < 2 * max1
+        x1 = (_p_chisqr(q1) <= alpha) & maj1
+        x2 = (_p_chisqr(q2) <= alpha) & maj1
+        ok = x1 & x2
+        return jnp.zeros(ok.shape, jnp.float32), ok
+    return _m_z
+
+
+def _m_p(a, b, t1, t2, n1, n2):
+    """pcmp (matcmp.c:346-359): 1 - p of the chi2 column test."""
+    T = a - b
+    s = a + b
+    terms = jnp.where(T != 0, T * T / jnp.where(s > 0, s, 1.0), 0.0)
+    d = 1.0 - _p_chisqr(terms.sum(-1))
+    return d, jnp.full(d.shape, True)
+
+
+def _m_np(a, b, t1, t2, n1, n2):
+    f1, tt1 = _frac(a, t1, n1)
+    f2, tt2 = _frac(b, t2, n2)
+    diff = f1 - f2
+    s = f1 + f2
+    terms = jnp.where(diff != 0, diff * diff / jnp.where(s != 0, s, 1.0),
+                      0.0)
+    d = 1.0 - _p_chisqr(terms.sum(-1))
+    return d, (tt1 > 0) & (tt2 > 0)
+
+
+def _m_ln_factory(nn: int):
+    def _m_ln(a, b, t1, t2, n1, n2):
+        d = (jnp.abs(a - b) ** nn).sum(-1) ** jnp.float32(1.0 / nn)
+        return jnp.maximum(d, 0.0), jnp.full(d.shape[:], True)
+    return _m_ln
+
+
+def _m_nln_factory(nn: int):
+    def _m_nln(a, b, t1, t2, n1, n2):
+        f1, tt1 = _frac(a, t1, n1)
+        f2, tt2 = _frac(b, t2, n2)
+        diff = jnp.abs(f1 - f2)
+        # first term is pow() of the SIGNED difference (matcmp.c:112)
+        first = (f1[..., 0] - f2[..., 0]) ** nn
+        base = first + (diff[..., 1:] ** nn).sum(-1)
+        d = jnp.where(base >= 0, base, 0.0) ** jnp.float32(1.0 / nn)
+        # negative base -> NaN on host -> excluded upstream
+        return d, (tt1 > 0) & (tt2 > 0) & (base >= 0)
+    return _m_nln
+
+
 METRICS = {
     "cos": _m_cos, "l1": _m_l1, "l2": _m_l2, "linf": _m_linf,
     "chi2": _m_chi2, "c": _m_c, "bc": _m_bc, "nl1": _m_nl1,
     "nl2": _m_nl2, "nlinf": _m_nlinf, "nbc": _m_nbc,
-    "nchi2": _m_nchi2, "nc": _m_nc,
+    "nchi2": _m_nchi2, "nc": _m_nc, "p": _m_p, "np": _m_np,
 }
+
+
+def resolve_metric(method: str, alpha: float = 0.05):
+    """Device-metric spec for a dist -d method (None if unsupported).
+    The spec is a static jit key; parameterized metrics encode their
+    parameter ("z@0.05", "l3", "nl4")."""
+    if method == "z":
+        return f"z@{alpha!r}"
+    if method in METRICS:
+        return method
+    for pre in ("nl", "l"):
+        if method.startswith(pre):
+            try:
+                int(method[len(pre):])
+            except ValueError:
+                return None
+            return method
+    return None
+
+
+def _metric_fn(spec: str):
+    if spec.startswith("z@"):
+        return _m_z_factory(float(spec[2:]))
+    if spec in METRICS:
+        return METRICS[spec]
+    if spec.startswith("nl"):
+        return _m_nln_factory(int(spec[2:]))
+    return _m_ln_factory(int(spec[1:]))
 
 
 @functools.partial(jax.jit,
@@ -169,7 +279,7 @@ def _metric_chunk(counts, totals, plens, metric, min_depth, bi):
     strict lower triangle — a deliberate 2x FLOP trade for a single
     static-shape dispatch per chunk (triangle-only blocks would need
     per-block column extents and recompilation)."""
-    fn = METRICS[metric]
+    fn = _metric_fn(metric)
     k, P, _ = counts.shape
     a_all = counts[:, :, :5].astype(jnp.float32)     # exact < 2^24
     t_all = totals.astype(jnp.float32)

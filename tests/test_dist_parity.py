@@ -146,6 +146,25 @@ def test_union(oracle, kma_dir, union_file, tmp_path, extra):
              tmp_path)
 
 
+def test_union_device_z(oracle, kma_dir, union_file, tmp_path):
+    """Union-mode .mat with the device metric table
+    (CCPHYLO_TPU_DIST=device): the z metric's per-position values are
+    all 0, so device sums are integer-exact and the bytes must match
+    the oracle (gates included)."""
+    import subprocess
+    args = ["dist", "-i", union_file.name, "-d", "z"]
+    rphy = tmp_path / "r.phy"
+    _run_oracle_cwd(oracle, args + ["-o", str(rphy)], kma_dir)
+    res = subprocess.run(
+        [sys.executable, "-m", "ccphylo_tpu"] + args
+        + ["-o", str(tmp_path / "o.phy")],
+        capture_output=True, cwd=kma_dir, timeout=600,
+        env={"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
+             "JAX_PLATFORMS": "cpu", "CCPHYLO_TPU_DIST": "device"})
+    assert res.returncode == 0, res.stderr.decode(errors="replace")
+    assert (tmp_path / "o.phy").read_bytes() == rphy.read_bytes()
+
+
 @pytest.mark.parametrize("mode", ["mat", "fsa"])
 def test_add_row(oracle, kma_dir, tmp_path, mode):
     ext = "mat.gz" if mode == "mat" else "fsa.gz"

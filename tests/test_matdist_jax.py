@@ -52,6 +52,38 @@ def test_metric_table_matches_host(metric):
                                          abs=2e-5), (metric, i, j)
 
 
+@pytest.mark.parametrize("method", ["z", "l3", "nl3", "l4"])
+def test_parameterized_metrics_match_host(method):
+    """z (chi2-gated consensus), ln/nln (arbitrary n-norm): resolved
+    via resolve_metric spec strings; z's gates are float-threshold
+    comparisons, exact on this clear-cut data."""
+    counts, totals = _samples(seed=4)
+    k = len(counts)
+    min_depth = 15
+    spec = matdist_jax.resolve_metric(method, 0.05)
+    assert spec is not None
+    S, R = matdist_jax.pair_table(spec, counts, totals, min_depth)
+    veccmp = get_veccmp(method, 0.05)
+    for i in range(k):
+        for j in range(k):
+            if i == j or len(counts[j]) > len(counts[i]):
+                continue
+            dist, rinc = cmp_mats(counts[i], totals[i], counts[j],
+                                  totals[j], 0, min_depth, 1, 0.0,
+                                  veccmp)
+            if dist in (-1.0, -2.0):
+                continue
+            assert int(R[i, j]) == rinc, (method, i, j)
+            assert dist == pytest.approx(float(S[i, j]), rel=2e-5,
+                                         abs=2e-5), (method, i, j)
+
+
+def test_resolve_metric_rejects_unknown():
+    assert matdist_jax.resolve_metric("bogus", 0.05) is None
+    assert matdist_jax.resolve_metric("lx", 0.05) is None
+    assert matdist_jax.resolve_metric("z", 0.01) == "z@0.01"
+
+
 def test_sentinel_logic_matches_host():
     counts, totals = _samples(k=5, L=400, seed=3)
     min_depth, min_length, min_cov, norm = 15, 30, 0.5, 1000000
