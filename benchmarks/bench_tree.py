@@ -77,59 +77,27 @@ def device_dnj(n: int, reps: int = 2, quantized: str | None = None,
     return best
 
 
-def device_dnj_packed(n: int, nb: int = 8, reps: int = 2,
-                      compile_run: bool = True) -> float:
-    """u32-packed blocked u8 engine (the 100k-taxa single-chip path).
+def device_dnj_packed(n: int, nb: int = 1, reps: int = 2,
+                      compile_run: bool = True,
+                      kbatch: int = 128) -> float:
+    """Single-buffer u32-packed exact-int DNJ (the 100k+-taxa path).
 
-    Blocks are generated on device, one (R, W) buffer at a time, in
-    512-row chunks (no full-matrix intermediate ever materializes; every
-    buffer stays far below the ~2 GiB runtime fault line)."""
-    import jax
+    The words buffer is generated on device in 8192-row group programs
+    (one group transient at a time; no full-matrix f32 intermediate
+    ever materializes)."""
     import jax.numpy as jnp
-    from ccphylo_tpu.tree.packed_engine import (_pad_packed,
-                                                dnj_joins_packed)
-
-    npad = _pad_packed(n, nb)
-    R = npad // nb
-    W = npad // 4
-    bs = 100.0
-
-    def embed(key):
-        x = jax.random.uniform(key, (npad,), jnp.float32, 0.0, 1.0)
-        y = jax.random.uniform(jax.random.fold_in(key, 1), (npad,),
-                               jnp.float32, 0.0, 1.0)
-        return x, y
-
-    # npad is a multiple of 128*nb (lcm padding), so R is always a
-    # multiple of 128; larger chunks when R allows it
-    CH = next(c for c in (512, 256, 128) if R % c == 0)
-
-    @functools.partial(jax.jit, static_argnums=(1,))
-    def make_block(key, b):
-        x, y = embed(key)
-
-        def chunk(_, c):
-            rows = b * R + c * CH + jnp.arange(CH)
-            D = (jnp.abs(x[rows][:, None] - x[None, :])
-                 + jnp.abs(y[rows][:, None] - y[None, :]) + 0.01)
-            D = jnp.where(rows[:, None] == jnp.arange(npad)[None, :],
-                          0.0, D)
-            q = jnp.clip(jnp.floor(D * bs + 0.5), 0, 255) \
-                .astype(jnp.uint32)
-            r4 = q.reshape(CH, W, 4)
-            w = (r4[..., 0] | (r4[..., 1] << jnp.uint32(8))
-                 | (r4[..., 2] << jnp.uint32(16))
-                 | (r4[..., 3] << jnp.uint32(24)))
-            return None, w
-
-        _, ws = jax.lax.scan(chunk, None, jnp.arange(R // CH))
-        return ws.reshape(R, W)
+    from benchmarks.synth import device_words
+    from ccphylo_tpu.tree.packed_engine import (dnj_joins_packed,
+                                                limbs_host)
 
     def run(seed):
-        key = jax.random.PRNGKey(seed)
-        blocks = tuple(make_block(key, b) for b in range(nb))
-        I, J, LI, LJ, dl, _ = dnj_joins_packed(
-            blocks, jnp.int32(n), jnp.asarray(bs, jnp.float32))
+        # synthetic tie-dense integer matrix, generated on device into
+        # one donated buffer (benchmarks/synth.py; identical values to
+        # the .phy the C side reads)
+        words = device_words(n, mod=97 + seed)
+        I, J, DIJ2, SDI2, SDJ2, dl2, _ = dnj_joins_packed(
+            words, jnp.int32(n), kbatch=kbatch)
+        limbs_host(I, J, DIJ2, SDI2, SDJ2, n, 1.0)
         return int(I.sum())  # scalar fetch forces completion
 
     if compile_run:
@@ -169,8 +137,11 @@ def main():
     ap.add_argument("-n", type=int, default=4096)
     ap.add_argument("--quantized", choices=["u8", "u16"], default=None)
     ap.add_argument("--packed", action="store_true",
-                    help="u32-packed blocked u8 engine")
-    ap.add_argument("--blocks", type=int, default=8)
+                    help="single-buffer u32-packed exact-int u8 engine")
+    ap.add_argument("--blocks", type=int, default=1,
+                    help="(compat; ignored — single-buffer layout)")
+    ap.add_argument("--kbatch", type=int, default=128,
+                    help="scan revalidation batch rows")
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--no-compile-run", action="store_true",
                     help="skip the warm-up run (huge n: time incl. "
@@ -183,8 +154,8 @@ def main():
 
     if args.packed:
         t_dev = device_dnj_packed(n, nb=args.blocks, reps=args.reps,
-                                  compile_run=cr)
-        tag = f" [packed u8 x{args.blocks}]"
+                                  compile_run=cr, kbatch=args.kbatch)
+        tag = " [packed u8 int]"
     else:
         t_dev = device_dnj(n, quantized=args.quantized, reps=args.reps,
                            compile_run=cr)

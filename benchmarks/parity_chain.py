@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Scale parity chain for the exact-integer packed DNJ engine.
+
+Round-3 left a known n=20000 on-chip mismatch (a late f64-emulation
+tie flip) with nothing committed; the round-4 integer engine removes
+the failure class by construction.  This script is the committed
+evidence chain:
+
+  1. --vs-batch     packed records (this backend) vs the unpacked
+                    quantized batch engine under f64 (CPU-exact on
+                    these half-integer values) — closes the round-3
+                    bisection at any n it is run at (20000 default).
+  2. --phy + --c    full Newick byte comparison against the reference
+                    binary (`ccphylo tree -m dnj -b`) on the SAME
+                    synthetic matrix (benchmarks/synth.py hash; the
+                    .phy is written by gen mode) — the strongest
+                    possible parity statement, used at n=100000.
+  3. plain          run the packed engine and print join throughput +
+                    a records digest (cross-backend digests must be
+                    bit-identical: integer arithmetic).
+
+Usage:
+  python benchmarks/parity_chain.py gen -n 100000 --phy /tmp/big.phy
+  python benchmarks/parity_chain.py run -n 20000 [--cpu] [--vs-batch]
+      [--phy /tmp/big.phy --c /tmp/ccphylo_oracle/ccphylo]
+      [--newick-out /tmp/ours.nwck]
+"""
+
+import argparse
+import hashlib
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def digest(*arrays):
+    h = hashlib.sha256()
+    for a in arrays:
+        h.update(np.ascontiguousarray(a).tobytes())
+    return h.hexdigest()[:16]
+
+
+def run_packed(n, mod, kbatch):
+    import jax.numpy as jnp
+    from benchmarks.synth import device_words
+    from ccphylo_tpu.tree.packed_engine import (dnj_joins_packed,
+                                                limbs_host)
+    t0 = time.perf_counter()
+    words = device_words(n, mod=mod)
+    import jax
+    jax.block_until_ready(words)
+    t1 = time.perf_counter()
+    I, J, DIJ2, SDI2, SDJ2, dl2, _ = dnj_joins_packed(
+        words, jnp.int32(n), kbatch=kbatch)
+    k = n - 2
+    rec = (np.asarray(I)[:k], np.asarray(J)[:k],
+           np.asarray(DIJ2)[:k], np.asarray(SDI2)[:k],
+           np.asarray(SDJ2)[:k])
+    t2 = time.perf_counter()
+    LI, LJ = limbs_host(I, J, DIJ2, SDI2, SDJ2, n, 1.0)
+    print(f"gen {t1 - t0:.1f}s  joins {t2 - t1:.1f}s "
+          f"({k / max(t2 - t1, 1e-9):,.0f} joins/s)  "
+          f"records sha {digest(*rec)}", flush=True)
+    return rec, LI, LJ, int(np.asarray(dl2))
+
+
+def newick_from(n, rec, LI, LJ, dl2):
+    from ccphylo_tpu.io.qseqs import Name
+    from ccphylo_tpu.tree.jax_engine import _records_to_newick
+    k = n - 2
+    # Name capacities must evolve exactly like the Phylip loader's
+    # (formTree pre-allocates 32 cap-4 names, loadPhy extends with
+    # cap-32; each name read grows for len+1 chars, phy.c:370-429) —
+    # formNode picks child ORDER by buffer capacity (nwck.c:45-50), so
+    # wrong caps flip children even with identical join records.
+    names = []
+    for i in range(n):
+        nm = Name(b"", 4 if i < 32 else 32)
+        nm.grow_for(9)  # "T%07d" = 8 chars + terminating separator
+        nm.data = b"T%07d" % i
+        names.append(nm)
+    LI_f = np.zeros(n, np.float64)
+    LJ_f = np.zeros(n, np.float64)
+    LI_f[:k] = LI
+    LJ_f[:k] = LJ
+    return _records_to_newick(rec[0], rec[1], LI_f, LJ_f,
+                              dl2 / 2.0, n, names, 0, 9)
+
+
+def vs_batch(n, mod, rec):
+    """Unpacked quantized engine, f64 compute (exact on half-integer
+    values) — the round-3 'batch-CPU f64' comparator."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from benchmarks.synth import cell_hash_np
+    from ccphylo_tpu.tree.jax_engine import dnj_joins_q, _pad
+    npad = _pad(n)
+    ii, jj = np.meshgrid(np.arange(npad, dtype=np.uint32),
+                         np.arange(npad, dtype=np.uint32),
+                         indexing="ij")
+    Dq = cell_hash_np(ii, jj, mod)
+    Dq[n:, :] = 0
+    Dq[:, n:] = 0
+    t0 = time.perf_counter()
+    I, J, LI, LJ, dl, _ = dnj_joins_q(
+        jnp.asarray(Dq), jnp.int32(n), jnp.asarray(1.0, jnp.float64),
+        store_dtype=jnp.uint8, compute_dtype=jnp.float64)
+    k = n - 2
+    print(f"batch-f64 joins {time.perf_counter() - t0:.1f}s", flush=True)
+    same_i = np.array_equal(np.asarray(I)[:k], rec[0])
+    same_j = np.array_equal(np.asarray(J)[:k], rec[1])
+    print(f"records vs batch-f64: I {'OK' if same_i else 'MISMATCH'} "
+          f"J {'OK' if same_j else 'MISMATCH'}", flush=True)
+    if not (same_i and same_j):
+        bad = np.nonzero((np.asarray(I)[:k] != rec[0])
+                         | (np.asarray(J)[:k] != rec[1]))[0]
+        print(f"first divergence at join {bad[0]} of {k}", flush=True)
+        return False
+    return True
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["gen", "run"])
+    ap.add_argument("-n", type=int, default=20000)
+    ap.add_argument("--mod", type=int, default=97)
+    ap.add_argument("--phy", default=None)
+    ap.add_argument("--c", default=None, help="reference binary path")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--kbatch", type=int, default=128)
+    ap.add_argument("--vs-batch", action="store_true")
+    ap.add_argument("--newick-out", default=None)
+    args = ap.parse_args()
+
+    if args.mode == "gen":
+        from benchmarks.synth import write_phy
+        t0 = time.perf_counter()
+        write_phy(args.phy, args.n, mod=args.mod, progress=True)
+        print(f"wrote {args.phy} in {time.perf_counter() - t0:.0f}s")
+        return
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    rec, LI, LJ, dl2 = run_packed(args.n, args.mod, args.kbatch)
+
+    if args.vs_batch:
+        ok = vs_batch(args.n, args.mod, rec)
+        if not ok:
+            sys.exit(1)
+
+    nwck = newick_from(args.n, rec, LI, LJ, dl2) + b";\n"
+    print(f"newick sha {hashlib.sha256(nwck).hexdigest()[:16]}",
+          flush=True)
+    if args.newick_out:
+        with open(args.newick_out, "wb") as fh:
+            fh.write(nwck)
+    if args.c and args.phy:
+        out = args.phy + ".c.nwck"
+        t0 = time.perf_counter()
+        r = subprocess.run([args.c, "tree", "-m", "dnj", "-b", "-t",
+                            str(os.cpu_count()), "-i", args.phy,
+                            "-o", out], capture_output=True)
+        print(f"C dnj -b: {time.perf_counter() - t0:.1f}s\n"
+              + r.stderr.decode(), flush=True)
+        cbytes = open(out, "rb").read()
+        if cbytes == nwck:
+            print(f"NEWICK PARITY OK vs reference at n={args.n}")
+        else:
+            print("NEWICK MISMATCH vs reference")
+            for k in range(min(len(cbytes), len(nwck))):
+                if cbytes[k] != nwck[k]:
+                    print("first differing byte at", k,
+                          cbytes[k - 40:k + 40], nwck[k - 40:k + 40])
+                    break
+            sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

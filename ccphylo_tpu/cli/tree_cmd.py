@@ -229,24 +229,21 @@ def _dispatch_build(flat, n, names, method, flag, precision, dtype,
                                   flag=flag, precision=precision)
     if eng in ("packed", "packed64") and method == "dnj" \
             and dtype == "b":
-        # u32-packed, row-blocked u8 storage (tree/packed_engine.py) —
-        # the lowest-HBM single-chip layout (n^2 bytes total);
-        # CCPHYLO_TPU_NB sets the block count (default 8)
+        # single-buffer u32-packed u8 storage with exact-int32
+        # arithmetic (tree/packed_engine.py) — the lowest-HBM
+        # single-chip layout (n^2 bytes total), bit-identical records
+        # on every backend by construction.  "packed64" is accepted as
+        # an alias (the old f64-compute mode is superseded: integer
+        # compute is exact, so there is nothing left for f64 to fix).
         import numpy as _np
         if (_np.asarray(flat) < 0).any():
             return build_tree(flat, n, names, method, flag, precision,
                               dtype, bytescale)
         from ..utils.jaxconfig import configure_jax
-        jax = configure_jax()
-        import jax.numpy as jnp
-        if eng == "packed64":
-            jax.config.update("jax_enable_x64", True)
+        configure_jax()
         from ..tree.packed_engine import build_tree_jax_packed
-        nb = int(os.environ.get("CCPHYLO_TPU_NB", "8"))
         return build_tree_jax_packed(
-            flat, n, names, flag, precision, bytescale=bytescale,
-            nb=nb, compute_dtype=jnp.float64 if eng == "packed64"
-            else jnp.float32)
+            flat, n, names, flag, precision, bytescale=bytescale)
     if eng in ("device", "device64") \
             and method in ("upgma", "ff", "cf", "hnj", "nj", "mn") \
             and dtype == "d":

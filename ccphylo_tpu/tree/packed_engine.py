@@ -1,47 +1,71 @@
-"""Blocked, u32-packed quantized DNJ — the 100k-taxa single-chip engine.
+"""Single-buffer, u32-packed, exact-integer DNJ — the 100k+-taxa
+single-chip engine.
 
 Reference scaling tools for huge runs are u8/u16 ByteScale matrices and
 mmap out-of-core storage (matrix.c:116, bytescale.h:22-23, dnj.c:1054).
 TPU-native equivalent: the quantized (u8) distance matrix lives in HBM
-as **uint32 words, four cells per word**, split into `nb` row blocks
-that are separate HBM buffers.  This dodges two axon/libtpu runtime
-faults measured in round 1 (NOTES.md): narrow-dtype (u8/u16) buffers
-crash the worker above ~24-49k taxa, and single buffers above 4 GiB
-crash it above ~32k f32 taxa.  Packed-u32 blocked storage keeps every
-buffer wide-dtype and ≤ ~1.3 GiB at n=100352 (u8 cells: n^2 bytes
-total = 10.1 GB across 8 blocks on a 16 GB chip).
+as one **uint32 buffer, four cells per word** (n^2 bytes total, 10.1 GB
+at n=100352 on a 16 GB chip).
+
+Why one buffer (round-4 redesign): the round-1 ">4 GiB buffer" and
+"narrow dtype" worker crashes were retroactively explained by the
+execution-time watchdog (tree/segmenting.py); measured this round, a
+single 10 GB u32 buffer supports gathers, row writes and column
+slice-updates at full speed, while the old 8-block layout paid an 8x
+gather over-read plus per-block switch/slice overhead — the measured
+100k-taxa cost of that was 16 ms/join vs ~3 ms/join of single-buffer
+primitives (row read 27 us, row write 35 us, column read 0.32 ms,
+column write 0.48 ms, 128-row scan pass 0.34 ms).
+
+Why integer arithmetic (round-4 redesign): every quantity of the
+quantized engine is an exact multiple of u = 1/(2*ByteScale) — cells
+are c/bs, updateD's (D_ik+D_kj-D_ij)/2 is (ci+cj-cij)*u, row sums and
+Q-criterion values are integer combinations of those.  Computing the
+whole trajectory in int32 "u units" makes every comparison EXACT on any
+backend: CPU and TPU produce bit-identical join records by
+construction, with no f64-emulation or summation-order ulp exposure
+(the round-3 n=20000 packed64-vs-host mismatch was exactly such an ulp
+tie flip; integers cannot tie-flip).  The reference's own f64 engine
+performs the same arithmetic exactly whenever cells/bs is f64-exact
+(any dyadic ByteScale, incl. the default 1.0) — so join records match
+the C bit-for-bit at any n, provably, not statistically.  int32 bounds:
+|Q_u| <= 2*n*255 + 2*(2*n*255) ~ 1.53e9 < 2^31 at n = 1M.
+
+Limb lengths involve divisions and are NOT integers; the device
+returns, per join, the exact integer observables (i, j, 2*D_ij, 2*sD_i,
+2*sD_j in u units) and the host replays limbLength (nj.c:42-79) in
+float64 — the identical op sequence on identical exact inputs as the C,
+hence bit-identical printed limbs.
 
 Join semantics are identical to tree/jax_engine.dnj_joins_q (complete
 matrix, dtouc(d, 0.25) update quantization per nj.c:905, unquantized sD
 bookkeeping per nj.c:907-911, scan="batch" revalidation with the
-reference's last-wins tie rules) — with matching compute dtype the two
-engines produce bit-identical join records, which is how this file is
-tested.  Packing/unpacking is pure VPU shift/mask arithmetic; row scans
-move 1/4 the HBM bytes of the f32 engine.
+reference's last-wins tie rules).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-import math
-
 from ..io.qseqs import Name  # noqa: F401 (API type)
 from ..ops.select import topk_mask_indices
 from .jax_engine import _records_to_newick
 from .segmenting import run_segmented
 
+IBIG = np.int32(np.iinfo(np.int32).max)
 
-def _pad_packed(n: int, nb: int) -> int:
-    """Rows padded so npad is a multiple of both 512 and 128*nb (any
-    nb, not just powers of two — the lcm handles e.g. nb=3)."""
-    mult = math.lcm(512, 128 * nb)
-    return max(-(-n // mult) * mult, mult)
+
+def _pad_packed(n: int, nb: int = 1) -> int:
+    """Rows padded to a multiple of 512 (word width W = npad/4 is then
+    a lane multiple).  `nb` is accepted for API compatibility with the
+    round-3 blocked layout and ignored."""
+    return max(-(-n // 512) * 512, 512)
 
 
 def _unpack_words(w):
@@ -61,78 +85,30 @@ def _pack_bytes(v):
             | (r[..., 3] << jnp.uint32(24)))
 
 
-def _mk_one_join_packed(nb, R, W, m, bytescale, compute_dtype,
-                        neg_limbs):
-    """one_join body over u32-packed row-blocked storage; m/bytescale
-    are traced scalars closed over."""
-    n = nb * R
-    dtype = jnp.dtype(compute_dtype)
-    big = jnp.asarray(np.finfo(dtype).max, dtype)
+def _mk_one_join_packed(n, W, m, kbatch):
+    """one_join body over the single u32-packed buffer; m is a traced
+    scalar closed over.  All arithmetic int32 in u = 1/(2*ByteScale)
+    units; cells read as c (quantized byte), Q as 2*(m_t-2)*c - 2sD_i -
+    2sD_k."""
+    big = jnp.int32(IBIG)
     idx = jnp.arange(n)
-    bs = jnp.asarray(bytescale, dtype)
-    inv = jnp.asarray(1.0, dtype) / bs
     ff = jnp.uint32(0xFF)
 
-    def deq(byte_vals):
-        return byte_vals.astype(dtype) * inv
+    def cells_of(words_vals):
+        return _unpack_words(words_vals).astype(jnp.int32)
 
-    def quant_bytes(d, rnd):
-        # dtouc(d, rnd) (bytescale.h:22): C float->uint truncation,
-        # clamped at the u8 cap instead of wrapping
-        return jnp.clip(jnp.floor(d * bs + rnd), 0, 255) \
-            .astype(jnp.uint32)
-
-    def read_row_words(blocks, r):
-        """Global row r -> (W,) uint32 words (one block gathers)."""
-        def mk(b):
-            def f():
-                return jax.lax.dynamic_slice(
-                    blocks[b], (r - b * R, jnp.int32(0)), (1, W))[0]
-            return f
-        return jax.lax.switch(r // R, [mk(b) for b in range(nb)])
-
-    def write_row_words(blocks, r, words, gate):
-        out = []
-        for b in range(nb):
-            lw = jnp.where(gate & (r // R == b), r - b * R, R)
-            out.append(blocks[b].at[lw].set(words, mode="drop"))
-        return tuple(out)
-
-    def read_col_words(blocks, jw):
-        """Word column jw -> (n,) uint32 (cells 4jw..4jw+3 per row)."""
-        return jnp.concatenate([
-            jax.lax.dynamic_slice(blocks[b], (jnp.int32(0), jw), (R, 1))
-            [:, 0] for b in range(nb)])
-
-    def write_col_words(blocks, jw, vals):
-        out = []
-        for b in range(nb):
-            seg = jax.lax.dynamic_slice_in_dim(vals, b * R, R)[:, None]
-            out.append(jax.lax.dynamic_update_slice(
-                blocks[b], seg, (jnp.int32(0), jw)))
-        return tuple(out)
-
-    def gather_rows(blocks, r):
-        """Rows r (K,) global -> (K, W) words, same global-descending
-        semantics as dnj_joins_q's fused gather."""
-        K = r.shape[0]
-        acc = jnp.zeros((K, W), jnp.uint32)
-        for b in range(nb):
-            own = (r // R) == b
-            lr = jnp.where(own, r - b * R, 0)
-            acc = jnp.where(own[:, None], blocks[b][lr], acc)
-        return acc
+    def read_row(words, r):
+        return jax.lax.dynamic_slice(words, (r, jnp.int32(0)),
+                                     (1, W))[0]
 
     def last_min(q):
         mn = q.min()
         return mn, jnp.where(q == mn, idx, -1).max().astype(jnp.int32)
 
-    KB = 128
-
     def one_join(t, carry):
-        blocks, sD, Q, P, seed, I, J, LI, LJ = carry
+        words, sD2, Q, P, seed, I, J, DIJ2, SDI2, SDJ2 = carry
         m_t = m - t
-        mt = jnp.asarray(m_t - 2, dtype)
+        co = 2 * (m_t - 2)  # Q row coefficient on raw cells
 
         seed_ok = (seed != 0) & (Q[seed] != big)
         minv0 = jnp.where(seed_ok, Q[seed], big)
@@ -148,11 +124,11 @@ def _mk_one_join_packed(nb, R, W, m, bytescale, compute_dtype,
         def bbody(c):
             minv, pi, pj, Q, P = c
             cm = cand_mask(Q, minv)
-            rows = topk_mask_indices(cm, idx, KB)
+            rows = topk_mask_indices(cm, idx, kbatch)
             valid = rows >= 1
             r = jnp.where(valid, rows, 0)
-            Drows = deq(_unpack_words(gather_rows(blocks, r)))
-            q = mt * Drows - sD[r][:, None] - sD[None, :]
+            Crows = cells_of(words[r])                      # (K, n)
+            q = co * Crows - sD2[r][:, None] - sD2[None, :]
             ok = idx[None, :] < r[:, None]
             q = jnp.where(ok, q, big)
             rmin = q.min(axis=1)
@@ -182,55 +158,61 @@ def _mk_one_join_packed(nb, R, W, m, bytescale, compute_dtype,
         hp = (pi != 0) | (pj != 0)
         i, j = pi, pj
 
-        rowi_w = read_row_words(blocks, i)
-        rowj_w = read_row_words(blocks, j)
-        rowi = deq(_unpack_words(rowi_w))
-        rowj = deq(_unpack_words(rowj_w))
-        D_ij = rowi[j]
+        rowi_w = read_row(words, i)
+        rowj_w = read_row(words, j)
+        ci = cells_of(rowi_w)                               # (n,)
+        cj = cells_of(rowj_w)
+        cij = ci[j]
 
-        Ni = jnp.asarray(m_t - 2, dtype)  # complete: N_k = m_t
-        delta = jnp.where(Ni > 0, (sD[i] - D_ij) / jnp.maximum(Ni, 1)
-                          - (sD[j] - D_ij) / jnp.maximum(Ni, 1), 0.0)
-        Li = jnp.where(Ni > 0, (D_ij + delta) / 2, D_ij / 2)
-        Lj = jnp.where(Ni > 0, (D_ij - delta) / 2, D_ij / 2)
-        if not neg_limbs:
-            Li_c = jnp.where(Li < 0, 0.0, jnp.where(Lj < 0, D_ij, Li))
-            Lj_c = jnp.where(Li < 0, D_ij, jnp.where(Lj < 0, 0.0, Lj))
-            Li, Lj = Li_c, Lj_c
+        # limb observables (limbLength runs on PRE-update sD, nj.c:42)
+        DIJ2 = DIJ2.at[t].set(jnp.where(hp, 2 * cij, 0))
+        SDI2 = SDI2.at[t].set(jnp.where(hp, sD2[i], 0))
+        SDJ2 = SDJ2.at[t].set(jnp.where(hp, sD2[j], 0))
 
-        # updateD, complete-matrix both-path only (nj.c:893-948)
+        # updateD, complete-matrix both-path only (nj.c:893-948):
+        # d_new = max((D_ik + D_kj - D_ij)/2, 0) = (ci+cj-cij)*u
         active = idx < m_t
         valid_k = active & (idx != i) & (idx != j) & hp
-        d_new = jnp.maximum((rowi + rowj - D_ij) / 2, 0.0)
-        sD = jnp.where(valid_k, sD - (rowi + rowj - d_new), sD)
-        sD = sD.at[j].set(jnp.where(
-            hp, jnp.cumsum(jnp.where(valid_k, d_new, 0),
-                           dtype=dtype)[-1], sD[j]))
-        q_new = quant_bytes(d_new, 0.25)                  # (n,) u32
+        d_new_u = jnp.maximum(ci + cj - cij, 0)
+        # sD bookkeeping on UNQUANTIZED updates (nj.c:907-911)
+        sD2 = jnp.where(valid_k, sD2 - (2 * ci + 2 * cj - d_new_u),
+                        sD2)
+        sD2 = sD2.at[j].set(jnp.where(
+            hp, jnp.where(valid_k, d_new_u, 0).sum(dtype=jnp.int32),
+            sD2[j]))
+        # dtouc(d, 0.25) (bytescale.h:22): floor(d_u/2 + 1/4)
+        q_new = jnp.minimum((2 * d_new_u + 1) >> 2, 255) \
+            .astype(jnp.uint32)
+        # gating note: when !hp (or for rows outside valid_k) the
+        # written values equal the existing bytes, so the unconditional
+        # dynamic_update_slice writes are no-ops — no index games (DUS
+        # clamps out-of-range starts, which would corrupt real rows)
         rowj_bytes = jnp.where(valid_k, q_new, _unpack_words(rowj_w))
-        rowj_w_new = _pack_bytes(rowj_bytes)
-        blocks = write_row_words(blocks, j, rowj_w_new, hp)
+        words = jax.lax.dynamic_update_slice(
+            words, _pack_bytes(rowj_bytes)[None, :], (j, jnp.int32(0)))
         # column j: byte lane j%4 of word column j//4
         jw = j // 4
         sh = (jnp.uint32(8) * (j % 4).astype(jnp.uint32))
-        colw = read_col_words(blocks, jw)
+        colw = jax.lax.dynamic_slice(words, (jnp.int32(0), jw),
+                                     (n, 1))[:, 0]
         keep = ~(ff << sh)
-        colw_new = jnp.where(valid_k & hp,
-                             (colw & keep) | (q_new << sh), colw)
-        blocks = write_col_words(blocks, jw, colw_new)
+        colw_new = jnp.where(valid_k, (colw & keep) | (q_new << sh),
+                             colw)
+        words = jax.lax.dynamic_update_slice(
+            words, colw_new[:, None], (jnp.int32(0), jw))
 
         # cache repair for column j + fresh row j (reads see quantized;
         # post-updateD N = m_t - 1 -> (N_j + N_k - 4) >> 1 = m_t - 3)
-        mt_post = jnp.asarray(m_t - 3, dtype)
-        rowj_post = deq(rowj_bytes)
-        qj = mt_post * rowj_post - sD[j] - sD
+        co_post = 2 * (m_t - 3)
+        cj_post = rowj_bytes.astype(jnp.int32)
+        qj = co_post * cj_post - sD2[j] - sD2
         qj = jnp.where(idx < j, qj, big)
         Qj, Pj = last_min(qj)
         Q = Q.at[j].set(jnp.where(hp, Qj, Q[j]))
         P = P.at[j].set(jnp.where(hp, jnp.where(Qj == big, 0, Pj),
                                   P[j]))
-        colj = deq((colw_new >> sh) & ff)
-        qcol = mt_post * colj - sD[j] - sD
+        colj = ((colw_new >> sh) & ff).astype(jnp.int32)
+        qcol = co_post * colj - sD2[j] - sD2
         colk = valid_k & (idx > j)
         upd = colk & (qcol <= Q)
         Q = jnp.where(upd, qcol, Q)
@@ -244,28 +226,31 @@ def _mk_one_join_packed(nb, R, W, m, bytescale, compute_dtype,
         m_new = m_t - 1
         last = m_new
         g = hp & (i != last)
-        move_bytes = _unpack_words(read_row_words(blocks, last))
+        move_bytes = _unpack_words(read_row(words, last))
         rowi_old_bytes = _unpack_words(rowi_w)
         newrow_i = jnp.where(idx == i, jnp.uint32(0), move_bytes)
         rowi_bytes = jnp.where(g, newrow_i, rowi_old_bytes)
-        blocks = write_row_words(blocks, i, _pack_bytes(rowi_bytes), hp)
+        words = jax.lax.dynamic_update_slice(
+            words, _pack_bytes(rowi_bytes)[None, :], (i, jnp.int32(0)))
         iw = i // 4
         shi = (jnp.uint32(8) * (i % 4).astype(jnp.uint32))
-        colwi = read_col_words(blocks, iw)
+        colwi = jax.lax.dynamic_slice(words, (jnp.int32(0), iw),
+                                      (n, 1))[:, 0]
         keepi = ~(ff << shi)
         colwi_new = jnp.where(g, (colwi & keepi) | (newrow_i << shi),
                               colwi)
-        blocks = write_col_words(blocks, iw, colwi_new)
-        sD = sD.at[i].set(jnp.where(g, sD[last], sD[i]))
-        rowi_post = deq(rowi_bytes)
-        qi = mt_post * rowi_post - sD[i] - sD
+        words = jax.lax.dynamic_update_slice(
+            words, colwi_new[:, None], (jnp.int32(0), iw))
+        sD2 = sD2.at[i].set(jnp.where(g, sD2[last], sD2[i]))
+        ci_post = rowi_bytes.astype(jnp.int32)
+        qi = co_post * ci_post - sD2[i] - sD2
         qi = jnp.where(idx < i, qi, big)
         Qi, Pi = last_min(qi)
         Q = Q.at[i].set(jnp.where(g, Qi, Q[i]))
         P = P.at[i].set(jnp.where(g, jnp.where(Qi == big, 0, Pi),
                                   P[i]))
-        coli = deq((colwi_new >> shi) & ff)
-        qc = mt_post * coli - sD[i] - sD
+        coli = ((colwi_new >> shi) & ff).astype(jnp.int32)
+        qc = co_post * coli - sD2[i] - sD2
         ck = (idx > i) & (idx < last) & g
         u2 = ck & (qc <= Q)
         Q = jnp.where(u2, qc, Q)
@@ -277,6 +262,7 @@ def _mk_one_join_packed(nb, R, W, m, bytescale, compute_dtype,
         mj_cand = jnp.where(g, p2, 0)
         Q = Q.at[last].set(big)
 
+        # seed chaining (dnj.c:1026-1032)
         seed_new = jnp.where(
             mj_cand == m_new, mi_cand,
             jnp.where(mi_cand == m_new, mj_cand,
@@ -288,222 +274,223 @@ def _mk_one_join_packed(nb, R, W, m, bytescale, compute_dtype,
 
         I = I.at[t].set(jnp.where(hp, i, 0))
         J = J.at[t].set(jnp.where(hp, j, 0))
-        LI = LI.at[t].set(jnp.where(hp, Li, -1.0))
-        LJ = LJ.at[t].set(jnp.where(hp, Lj, -1.0))
-        return blocks, sD, Q, P, seed, I, J, LI, LJ
+        return words, sD2, Q, P, seed, I, J, DIJ2, SDI2, SDJ2
 
     return one_join
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype", "n"))
-def _init_sd_block(block, m, bytescale, row0, n, compute_dtype):
-    """Per-block initSummaD pass.  One block per XLA program: a
-    non-donated buffer threaded through a while loop gets a defensive
-    copy (measured: all 8 blocks copied at once in a whole-matrix init,
-    8 x 1.17 GiB -> 19.2 GB, compile-time OOM at n=100352); per-block
-    programs bound the transient to a single block."""
-    R, W = block.shape
-    dtype = jnp.dtype(compute_dtype)
-    idx = jnp.arange(n)
-    inv = jnp.asarray(1.0, dtype) / jnp.asarray(bytescale, dtype)
-    active0 = idx < m
-    CH = next(c for c in (512, 256, 128) if R % c == 0)
-    nch = R // CH
+# ---------------------------------------------------------------------
+# init: chunked device programs over a non-donated input buffer.  The
+# buffer must NOT be threaded through lax.scan/while state (defensive
+# copy of the full 10 GB, measured round 3) nor donated-and-returned
+# (same copy); instead each group call takes `words` as a plain input
+# and unrolls static-shaped dynamic slices from a traced row offset —
+# one compile serves every group.
 
-    def _sd_chunk(_, c):
-        rows = row0 + c * CH + jnp.arange(CH)
-        Drows = _unpack_words(jax.lax.dynamic_slice(
-            block, (c * CH, 0), (CH, W))).astype(dtype) * inv
+_GROUP_ROWS = 8192
+_CH = 512
+
+
+@functools.partial(jax.jit, static_argnames=("gr", "n"))
+def _sd2_group(words, r0, m, gr, n):
+    W = words.shape[1]
+    idx = jnp.arange(n)
+    active0 = idx < m
+    parts = []
+    for k in range(gr // _CH):
+        rows = r0 + k * _CH + jnp.arange(_CH)
+        blk = jax.lax.dynamic_slice(
+            words, (r0 + jnp.int32(k * _CH), jnp.int32(0)), (_CH, W))
+        cells = _unpack_words(blk).astype(jnp.int32)
         v = active0[None, :] & (rows[:, None] != idx[None, :])
-        # sequential accumulation order (initSummaD, nj.c:111-180)
-        return None, jnp.cumsum(jnp.where(v, Drows, 0),
-                                axis=1, dtype=dtype)[:, -1]
-
-    _, sDb = jax.lax.scan(_sd_chunk, None, jnp.arange(nch))
-    return sDb.reshape(R)
+        # integer sums are order-exact; no cumsum needed
+        parts.append(
+            2 * jnp.where(v, cells, 0).sum(axis=1, dtype=jnp.int32))
+    return jnp.concatenate(parts)
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype", "n"))
-def _init_qp_block(block, sD, m, bytescale, row0, n, compute_dtype):
-    """Per-block initHNJ row-cache pass (see _init_sd_block)."""
-    R, W = block.shape
-    dtype = jnp.dtype(compute_dtype)
-    big = jnp.asarray(np.finfo(dtype).max, dtype)
+@functools.partial(jax.jit, static_argnames=("gr", "n"))
+def _qp_group(words, sD2, r0, m, gr, n):
+    W = words.shape[1]
+    big = jnp.int32(IBIG)
     idx = jnp.arange(n)
-    inv = jnp.asarray(1.0, dtype) / jnp.asarray(bytescale, dtype)
     active0 = idx < m
-    CH = next(c for c in (512, 256, 128) if R % c == 0)
-    nch = R // CH
-    mt0 = (m - 2).astype(dtype)
-
-    def _qp_chunk(_, c):
-        rows = row0 + c * CH + jnp.arange(CH)
-        Drows = _unpack_words(jax.lax.dynamic_slice(
-            block, (c * CH, 0), (CH, W))).astype(dtype) * inv
+    co0 = 2 * (m - 2)
+    qs, ps = [], []
+    for k in range(gr // _CH):
+        rows = r0 + k * _CH + jnp.arange(_CH)
+        blk = jax.lax.dynamic_slice(
+            words, (r0 + jnp.int32(k * _CH), jnp.int32(0)), (_CH, W))
+        cells = _unpack_words(blk).astype(jnp.int32)
         lv = (active0[rows][:, None] & active0[None, :]
               & (idx[None, :] < rows[:, None]))
-        Qm = jnp.where(lv, mt0 * Drows - sD[rows][:, None]
-                       - sD[None, :], big)
+        Qm = jnp.where(lv, co0 * cells - sD2[rows][:, None]
+                       - sD2[None, :], big)
         Qc = Qm.min(axis=1)
-        # initHNJ tie rule (hclust.c:110-116)
+        # initHNJ tie rule (hclust.c:110-116): among equal-Q candidates
+        # ascending, accept while the raw distance is a running minimum
         cand = lv & (Qm == Qc[:, None])
-        dmask = jnp.where(cand, Drows, big)
+        dmask = jnp.where(cand, cells, big)
         prefmin = jax.lax.cummin(dmask, axis=1)
         sel = cand & (dmask == prefmin)
         Pc = jnp.where(sel, idx[None, :], -1).max(axis=1) \
             .astype(jnp.int32)
-        return None, (Qc, jnp.maximum(Pc, 0))
-
-    _, (Qb, Pb) = jax.lax.scan(_qp_chunk, None, jnp.arange(nch))
-    return Qb.reshape(R), Pb.reshape(R)
-
-
-def _packed_init(blocks, m, bytescale, compute_dtype=jnp.float32):
-    """initSummaD + initHNJ + seed over packed blocked storage
-    (complete matrix: N_k = m for every row).  Host-sequenced
-    per-block device programs — see _init_sd_block for why."""
-    nb = len(blocks)
-    R, _ = blocks[0].shape
-    n = nb * R
-    dtype = jnp.dtype(compute_dtype)
-
-    sD = jnp.concatenate([
-        _init_sd_block(blocks[b], m, bytescale, jnp.int32(b * R), n=n,
-                       compute_dtype=compute_dtype) for b in range(nb)])
-    qp = [_init_qp_block(blocks[b], sD, m, bytescale, jnp.int32(b * R),
-                         n=n, compute_dtype=compute_dtype)
-          for b in range(nb)]
-    Q = jnp.concatenate([q for q, _ in qp])
-    P = jnp.concatenate([p for _, p in qp])
-
-    @jax.jit
-    def _seed(Q, P, m):
-        big = jnp.asarray(np.finfo(dtype).max, dtype)
-        idx = jnp.arange(n)
-        active0 = idx < m
-        Qa = jnp.where(active0, Q, big)
-        qrows = jnp.where((idx >= 1) & active0, Qa, big)
-        mn0 = qrows.min()
-        seed0 = jnp.where(active0.sum() > 1,
-                          jnp.where(qrows == mn0, idx, -1).max(), 0) \
-            .astype(jnp.int32)
-        return Qa, seed0
-
-    Q, seed0 = _seed(Q, P, m)
-    return sD, Q, P, seed0
+        qs.append(Qc)
+        ps.append(jnp.maximum(Pc, 0))
+    return jnp.concatenate(qs), jnp.concatenate(ps)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("neg_limbs", "compute_dtype"),
-                   donate_argnums=tuple(range(9)))
-def _packed_segment(blocks, sD, Q, P, seed, I, J, LI, LJ, t0, t1, m,
-                    bytescale, neg_limbs=False,
-                    compute_dtype=jnp.float32):
-    nb = len(blocks)
-    R, W = blocks[0].shape
-    one_join = _mk_one_join_packed(nb, R, W, m, bytescale,
-                                   compute_dtype, neg_limbs)
-    return jax.lax.fori_loop(t0, t1, one_join,
-                             (blocks, sD, Q, P, seed, I, J, LI, LJ))
+@functools.partial(jax.jit, static_argnames=("n",))
+def _seed_init(Q, P, m, n):
+    big = jnp.int32(IBIG)
+    idx = jnp.arange(n)
+    active0 = idx < m
+    Qa = jnp.where(active0, Q, big)
+    qrows = jnp.where((idx >= 1) & active0, Qa, big)
+    mn0 = qrows.min()
+    seed0 = jnp.where(active0.sum() > 1,
+                      jnp.where(qrows == mn0, idx, -1).max(), 0) \
+        .astype(jnp.int32)
+    return Qa, seed0
 
 
-def _normalize_layouts(blocks):
-    """Re-lay every block into the join programs' preferred layout
-    (major_to_minor=(0, 1) on TPU — what XLA layout assignment picks
-    for the init/segment access pattern), ONE AT A TIME so each copy's
-    source is freed before the next starts.
-
-    Producer programs (scan+reshape pipelines) can commit blocks with
-    the other major_to_minor; the init/segment programs then get a
-    layout-conversion copy of EVERY block at entry — 8 x 1.17 GiB
-    simultaneously live at n=100352, a measured compile-time HBM OOM.
-    Normalizing here bounds the transient to one block."""
-    if jax.default_backend() == "cpu":
-        return blocks  # CPU arrays have no tiled layouts to normalize
-    try:
-        from jax.experimental.layout import Format, Layout
-        want_layout = Layout(major_to_minor=(0, 1))
-    except Exception:
-        return blocks  # layout API unavailable (older jax)
-    out = []
-    for b in blocks:
-        fmt = getattr(b, "format", None)
-        if fmt is not None and getattr(fmt, "layout", None) is not None \
-                and tuple(fmt.layout.major_to_minor) != (0, 1):
-            b = jax.device_put(b, Format(want_layout, fmt.sharding))
-            jax.block_until_ready(b)
-        out.append(b)
-    return tuple(out)
+def _packed_init(words, m):
+    """initSummaD + initHNJ + seed over the packed buffer (complete
+    matrix: N_k = m for every row).  Returns int32 (sD2, Q, P, seed)."""
+    n = words.shape[0]
+    sd_parts, qp_parts = [], []
+    r0 = 0
+    while r0 < n:
+        gr = min(_GROUP_ROWS, n - r0)
+        sd_parts.append(_sd2_group(words, jnp.int32(r0), m, gr=gr, n=n))
+        r0 += gr
+    sD2 = jnp.concatenate(sd_parts) if len(sd_parts) > 1 else sd_parts[0]
+    r0 = 0
+    while r0 < n:
+        gr = min(_GROUP_ROWS, n - r0)
+        qp_parts.append(_qp_group(words, sD2, jnp.int32(r0), m, gr=gr,
+                                  n=n))
+        r0 += gr
+    Q = jnp.concatenate([q for q, _ in qp_parts]) \
+        if len(qp_parts) > 1 else qp_parts[0][0]
+    P = jnp.concatenate([p for _, p in qp_parts]) \
+        if len(qp_parts) > 1 else qp_parts[0][1]
+    Q, seed0 = _seed_init(Q, P, m, n=n)
+    return sD2, Q, P, seed0
 
 
-def dnj_joins_packed(blocks, m, bytescale, neg_limbs=False,
-                     compute_dtype=jnp.float32):
-    """All m-2 DNJ joins over a u32-packed, row-blocked u8 matrix
+@functools.partial(jax.jit, static_argnames=("kbatch",),
+                   donate_argnums=tuple(range(10)))
+def _packed_segment(words, sD2, Q, P, seed, I, J, DIJ2, SDI2, SDJ2,
+                    t0, t1, m, kbatch=128):
+    n, W = words.shape
+    one_join = _mk_one_join_packed(n, W, m, kbatch)
+    return jax.lax.fori_loop(
+        t0, t1, one_join,
+        (words, sD2, Q, P, seed, I, J, DIJ2, SDI2, SDJ2))
+
+
+def dnj_joins_packed(words, m, kbatch: int = 128, hooks=None):
+    """All m-2 DNJ joins over the single u32-packed u8 matrix
     (host-segmented dispatch, see tree/segmenting.py).
 
-    blocks: tuple of nb uint32 arrays, each (R, W) with nb*R == 4W ==
-    npad (use `pack_blocks` / `_pad_packed`).  m: active taxa.  Returns
-    (I, J, LI, LJ, d_last, blocks) — blocks are donated and returned so
-    XLA aliases them in place.
+    words: (npad, W) uint32 with npad == 4W (use `pack_words`); m:
+    active taxa.  Returns (I, J, DIJ2, SDI2, SDJ2, d_last2, words) —
+    int32 join records in u = 1/(2*ByteScale) units (see module doc;
+    convert limbs with `limbs_host`).  words is donated and returned so
+    XLA aliases it in place.  `hooks`, if given, is passed through to
+    run_segmented (checkpoint/instrumentation callbacks).
     """
-    nb = len(blocks)
-    R, W = blocks[0].shape
-    n = nb * R
-    assert 4 * W == n, "blocks must tile a square byte matrix"
-    dtype = jnp.dtype(compute_dtype)
+    n, W = words.shape
+    assert 4 * W == n, "words must tile a square byte matrix"
     m_host = int(m)
     mj = jnp.int32(m_host)
-    bsj = jnp.asarray(bytescale, dtype)
-    blocks = _normalize_layouts(blocks)
-    sD, Q, P, seed = _packed_init(blocks, mj, bsj,
-                                  compute_dtype=compute_dtype)
+    sD2, Q, P, seed = _packed_init(words, mj)
     I = jnp.zeros(n, jnp.int32)
     J = jnp.zeros(n, jnp.int32)
-    LI = jnp.zeros(n, dtype)
-    LJ = jnp.zeros(n, dtype)
-    state = (blocks, sD, Q, P, seed, I, J, LI, LJ)
+    DIJ2 = jnp.zeros(n, jnp.int32)
+    SDI2 = jnp.zeros(n, jnp.int32)
+    SDJ2 = jnp.zeros(n, jnp.int32)
+    state = (words, sD2, Q, P, seed, I, J, DIJ2, SDI2, SDJ2)
 
     def seg_call(state, t0, t1):
         return _packed_segment(*state, jnp.int32(t0), jnp.int32(t1),
-                               mj, bsj, neg_limbs=neg_limbs,
-                               compute_dtype=compute_dtype)
+                               mj, kbatch=kbatch)
 
-    state = run_segmented(seg_call, state, max(m_host - 2, 0))
-    blocks, sD, Q, P, seed, I, J, LI, LJ = state
-    inv = jnp.asarray(1.0, dtype) / bsj
-    d_last = (blocks[0][1, 0] & jnp.uint32(0xFF)).astype(dtype) * inv
-    return I, J, LI, LJ, d_last, blocks
+    state = run_segmented(seg_call, state, max(m_host - 2, 0),
+                          **({"hooks": hooks} if hooks else {}))
+    words, sD2, Q, P, seed, I, J, DIJ2, SDI2, SDJ2 = state
+    d_last2 = 2 * (words[1, 0] & jnp.uint32(0xFF)).astype(jnp.int32)
+    return I, J, DIJ2, SDI2, SDJ2, d_last2, words
+
+
+def limbs_host(I, J, DIJ2, SDI2, SDJ2, m: int, bytescale: float,
+               neg_limbs: bool = False):
+    """Replay limbLength (nj.c:42-79) in float64 from the exact integer
+    join observables.  Complete matrices: N_i = N_j = m_t at join t.
+    Identical op sequence on identical (f64-exact for dyadic ByteScale)
+    inputs as the C — bit-identical limbs."""
+    T = max(m - 2, 0)
+    inv = 1.0 / (2.0 * float(bytescale))
+    Dij = np.asarray(DIJ2[:T], np.float64) * inv
+    sDi = np.asarray(SDI2[:T], np.float64) * inv
+    sDj = np.asarray(SDJ2[:T], np.float64) * inv
+    m_t = float(m) - np.arange(T, dtype=np.float64)
+    Ni = m_t - 2.0
+    pos = Ni > 0
+    delta = np.where(pos, (sDi - Dij) / np.maximum(Ni, 1.0)
+                     - (sDj - Dij) / np.maximum(Ni, 1.0), 0.0)
+    Li = np.where(pos, (Dij + delta) / 2.0, Dij / 2.0)
+    Lj = np.where(pos, (Dij - delta) / 2.0, Dij / 2.0)
+    if not neg_limbs:
+        Li_c = np.where(Li < 0, 0.0, np.where(Lj < 0, Dij, Li))
+        Lj_c = np.where(Li < 0, Dij, np.where(Lj < 0, 0.0, Lj))
+        Li, Lj = Li_c, Lj_c
+    return Li, Lj
+
+
+def pack_words(Dq_bytes: np.ndarray):
+    """(npad, npad) uint8 host matrix -> (npad, W) uint32 words."""
+    npad = Dq_bytes.shape[0]
+    assert npad % 4 == 0 and Dq_bytes.dtype == np.uint8
+    words = Dq_bytes.reshape(npad, npad // 4, 4).view(np.uint32) \
+        .reshape(npad, npad // 4)  # little-endian byte lanes
+    return jnp.asarray(words)
 
 
 def pack_blocks(Dq_bytes: np.ndarray, nb: int):
-    """(npad, npad) uint8 host matrix -> tuple of nb (R, W) uint32."""
-    npad = Dq_bytes.shape[0]
-    assert npad % (4 * nb) == 0 and Dq_bytes.dtype == np.uint8
-    R = npad // nb
-    words = Dq_bytes.reshape(npad, npad // 4, 4).view(np.uint32) \
-        .reshape(npad, npad // 4)  # little-endian byte lanes
-    return tuple(jnp.asarray(words[b * R:(b + 1) * R]) for b in range(nb))
+    """Round-3 compatibility shim: the blocked layout is gone; returns
+    the single words buffer regardless of `nb`."""
+    return pack_words(Dq_bytes)
 
 
 def build_tree_jax_packed(flat64: np.ndarray, n: int, names: list[Name],
                           flag: int = 0, precision: int = 9,
-                          bytescale: float = 1.0, nb: int = 8,
-                          compute_dtype=jnp.float32) -> bytes:
-    """Device DNJ over packed-u8 blocked storage; Newick bytes (no ';').
+                          bytescale: float = 1.0, nb: int = 1,
+                          compute_dtype=None) -> bytes:
+    """Device DNJ over packed-u8 storage; Newick bytes (no ';').
 
     Loads quantize like loadPhy -b (round 0.5, phy.c:473-475); complete
     matrices only (quantized storage cannot represent missing cells,
-    matrix.h:23-33)."""
-    npad = _pad_packed(n, nb)
+    matrix.h:23-33).  `nb`/`compute_dtype` are accepted for API
+    compatibility and ignored — the engine is exact-integer on device
+    (bit-identical records on every backend)."""
+    npad = _pad_packed(n)
     Dq = np.zeros((npad, npad), np.uint8)
     iu = np.tril_indices(n, -1)
     qv = np.floor(np.asarray(flat64, np.float64) * bytescale + 0.5)
     qv = np.clip(qv, 0, 255).astype(np.uint8)
     Dq[(iu[0], iu[1])] = qv
     Dq[(iu[1], iu[0])] = qv
-    blocks = pack_blocks(Dq, nb)
-    I, J, LI, LJ, d_last, _ = dnj_joins_packed(
-        blocks, jnp.int32(n), jnp.asarray(bytescale, compute_dtype),
-        neg_limbs=bool(flag & 2), compute_dtype=compute_dtype)
-    return _records_to_newick(I, J, LI, LJ, d_last, n, names, flag,
-                              precision)
+    words = pack_words(Dq)
+    I, J, DIJ2, SDI2, SDJ2, d_last2, _ = dnj_joins_packed(
+        words, jnp.int32(n))
+    LI, LJ = limbs_host(I, J, DIJ2, SDI2, SDJ2, n, bytescale,
+                        neg_limbs=bool(flag & 2))
+    LI_full = np.zeros(npad, np.float64)
+    LJ_full = np.zeros(npad, np.float64)
+    LI_full[:max(n - 2, 0)] = LI
+    LJ_full[:max(n - 2, 0)] = LJ
+    d_last = float(np.asarray(d_last2)) / (2.0 * float(bytescale))
+    return _records_to_newick(I, J, LI_full, LJ_full, d_last, n, names,
+                              flag, precision)

@@ -39,12 +39,17 @@ def _env_int(name: str, default: int) -> int:
         return default
 
 
-def run_segmented(seg_call, state, total: int):
+def run_segmented(seg_call, state, total: int, hooks=None,
+                  start: int = 0):
     """Run `total` join steps as adaptively sized device segments.
 
     seg_call(state, t0, t1) -> state  — a jitted, buffer-donating
     function executing steps [t0, t1); state is an arbitrary pytree of
     device arrays.  Returns the final state.
+
+    hooks, if given, is called as hooks(state, done, total) after every
+    fenced segment (checkpointing / instrumentation); `start` resumes
+    the step counter mid-run (checkpoint restore).
 
     Segment sizing: start at CCPHYLO_TPU_SEG (default 512) steps, then
     rescale each segment toward CCPHYLO_TPU_SEG_TARGET_S (default 4.0)
@@ -63,13 +68,15 @@ def run_segmented(seg_call, state, total: int):
         jax.device_get(min(leaves, key=lambda x: x.size))
         return state
 
-    done = 0
+    done = start
     while done < total:
         k = min(seg, total - done)
         t0 = time.perf_counter()
         state = sync(seg_call(state, done, done + k))
         dt = time.perf_counter() - t0
         done += k
+        if hooks is not None:
+            hooks(state, done, total)
         if not fixed and done < total and k == seg:
             # steady-state rescale; the first call's dt includes
             # compile, which only ever shrinks the next segment (safe
