@@ -104,7 +104,9 @@ def main():
             t2 = time.perf_counter() - t0
         finally:
             os.chdir(cwd0)
-        results["C  ours TPU  "] = (t1, t2, b"")
+        with open(os.path.join(d, "T_c.nwck"), "rb") as fh:
+            tpu_nwck = fh.read()  # ADVICE r3: keep the TPU tree bytes
+        results["C  ours TPU  "] = (t1, t2, tpu_nwck)
 
         print(f"n={args.n} samples, L={args.L} bases")
         for k, (t1, t2, _) in results.items():
@@ -113,6 +115,8 @@ def main():
         if "A  reference C" in results:
             same = results["A  reference C"][2] == results["B  ours host "][2]
             print("host Newick == reference:", same)
+            print("TPU Newick == reference:",
+                  results["A  reference C"][2] == tpu_nwck)
 
 
 if __name__ == "__main__":

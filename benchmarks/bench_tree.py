@@ -23,6 +23,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# persistent XLA compile cache (VERDICT r3 weak-8: without it every
+# fresh process pays multi-minute remote compiles at large n)
+from ccphylo_tpu.utils.jaxconfig import configure_jax
+configure_jax()
+
 
 def device_dnj(n: int, reps: int = 2, quantized: str | None = None,
                compile_run: bool = True) -> float:

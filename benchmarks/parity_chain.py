@@ -37,6 +37,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# persistent XLA compile cache (VERDICT r3 weak-8: without it every
+# fresh process pays multi-minute remote compiles at large n)
+from ccphylo_tpu.utils.jaxconfig import configure_jax
+configure_jax()
+
 
 def digest(*arrays):
     h = hashlib.sha256()
@@ -66,6 +71,11 @@ def run_packed(n, mod, kbatch):
     print(f"gen {t1 - t0:.1f}s  joins {t2 - t1:.1f}s "
           f"({k / max(t2 - t1, 1e-9):,.0f} joins/s)  "
           f"records sha {digest(*rec)}", flush=True)
+    st = getattr(dnj_joins_packed, "last_stats", None)
+    if st is not None and k:
+        print(f"stats: {st[0] / k:.2f} scan passes/join, "
+              f"{st[1] / k:.1f} reval rows/join, "
+              f"{st[2] / k:.1f} batch rows/join", flush=True)
     return rec, LI, LJ, int(np.asarray(dl2))
 
 
@@ -125,9 +135,48 @@ def vs_batch(n, mod, rec):
     return True
 
 
+def host_records(n, mod):
+    """Join records from the host numpy exact engine (tree/exact.py) —
+    the oracle-anchored byte-parity engine — on the synthetic matrix."""
+    from benchmarks.synth import cell_hash_np
+    from ccphylo_tpu.tree import exact as ex
+    iu = np.tril_indices(n, -1)
+    flat = cell_hash_np(iu[0].astype(np.uint32),
+                        iu[1].astype(np.uint32), mod).astype(np.float64)
+    st = ex.TreeState(flat, n, "b", 1.0)
+    cfg = ex.METHODS["dnj"]
+    cfg["init"](st)
+    qpair, update, pop = cfg["qpair"], cfg["update"], cfg["pop"]
+    mi0, _ = ex.min_q(st)
+    j = mi0
+    I, J = [], []
+    t0 = time.perf_counter()
+    while st.n != 2:
+        i, j2 = qpair(st, j)
+        if i == 0 and j2 == 0:
+            break
+        I.append(i)
+        J.append(j2)
+        Li, Lj = ex.limb_length(i, j2, st.sD, st.N,
+                                ex._d_ij(st, i, j2), False)
+        mi = update(st, i, j2, Li, Lj)
+        mj = pop(st, i)
+        if mj == st.n:
+            j = mi
+        elif mi == st.n:
+            j = mj
+        else:
+            j = ex.min_pos(st.Q, mi, mj)
+        if len(I) % 2000 == 0:
+            print(f"  host join {len(I)}/{n - 2} "
+                  f"({len(I) / (time.perf_counter() - t0):,.0f}/s)",
+                  flush=True)
+    return np.array(I, np.int32), np.array(J, np.int32)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["gen", "run"])
+    ap.add_argument("mode", choices=["gen", "run", "hostcmp"])
     ap.add_argument("-n", type=int, default=20000)
     ap.add_argument("--mod", type=int, default=97)
     ap.add_argument("--phy", default=None)
@@ -136,6 +185,8 @@ def main():
     ap.add_argument("--kbatch", type=int, default=128)
     ap.add_argument("--vs-batch", action="store_true")
     ap.add_argument("--newick-out", default=None)
+    ap.add_argument("--records-out", default=None)
+    ap.add_argument("--records-in", default=None)
     args = ap.parse_args()
 
     if args.mode == "gen":
@@ -145,9 +196,31 @@ def main():
         print(f"wrote {args.phy} in {time.perf_counter() - t0:.0f}s")
         return
 
+    if args.mode == "hostcmp":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        I, J = host_records(args.n, args.mod)
+        print(f"host records sha {digest(I, J)}", flush=True)
+        if args.records_out:
+            np.savez(args.records_out, I=I, J=J)
+        if args.records_in:
+            d = np.load(args.records_in)
+            same = (np.array_equal(d["I"][:len(I)], I)
+                    and np.array_equal(d["J"][:len(J)], J))
+            print("RECORDS PARITY OK (host exact == packed)" if same
+                  else "RECORDS MISMATCH")
+            if not same:
+                bad = np.nonzero((d["I"][:len(I)] != I)
+                                 | (d["J"][:len(J)] != J))[0]
+                print("first divergence at join", bad[0])
+                sys.exit(1)
+        return
+
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
     rec, LI, LJ, dl2 = run_packed(args.n, args.mod, args.kbatch)
+    if args.records_out:
+        np.savez(args.records_out, I=rec[0], J=rec[1], DIJ2=rec[2],
+                 SDI2=rec[3], SDJ2=rec[4])
 
     if args.vs_batch:
         ok = vs_batch(args.n, args.mod, rec)

@@ -151,8 +151,16 @@ class QuantCells:
     def array(self):
         if self._disk is not None:
             self._flush()
-            self._disk.seek(0)
-            return np.fromfile(self._disk, np.float64, self._count)
+            self._disk.flush()
+            if self._count == 0:
+                return np.empty(0, np.float64)
+            # -H stays disk-backed through printing: a read-only memmap
+            # over the unlinked temp file (the reference's mmap matrix
+            # walks rows from disk during printphy, matrix.c:116 +
+            # phy.c:59-123); print_phy slices it row by row, so peak
+            # RSS is page cache, not a dense n(n-1)/2 float64 block.
+            return np.memmap(self._disk, dtype=np.float64, mode="r",
+                             shape=(self._count,))
         return np.asarray(self.vals, np.float64)
 
 

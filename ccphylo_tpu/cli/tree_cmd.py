@@ -251,6 +251,23 @@ def _dispatch_build(flat, n, names, method, flag, precision, dtype,
         # upgma/ff via UPGMApair cached scans, cf/hnj via minQ global
         # picks, nj/mn via full masked scans — reference
         # hclust.c:56-1720, dnj.c:217-293, nj.c:182-362
+        if method in ("ff", "hnj", "nj"):
+            # float-scope guard: for these three the device engine's
+            # sD reductions are not bitwise C sequential sums, so
+            # non-integer matrices can flip exact ties (engine
+            # docstring, tree/hclust_engine.py).  Integer (SNP) data
+            # is bit-exact; anything else falls back to the host
+            # byte-parity engine with a note.
+            import numpy as _np
+            fl = _np.asarray(flat)
+            if not _np.array_equal(fl, _np.floor(fl)):
+                sys.stderr.write(
+                    "# ccphylo_tpu: non-integer distances with "
+                    f"CCPHYLO_TPU_ENGINE={eng} -m {method}: device "
+                    "engine is not byte-parity on float data; using "
+                    "the host engine.\n")
+                return build_tree(flat, n, names, method, flag,
+                                  precision, dtype, bytescale)
         from ..utils.jaxconfig import configure_jax
         jax = configure_jax()
         import jax.numpy as jnp

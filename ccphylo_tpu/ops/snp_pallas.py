@@ -1,8 +1,10 @@
-"""Pallas TPU kernel: shift-major one-hot expansion + triangular
+"""Pallas TPU kernel: shift-major ±1 3-Gram expansion + triangular
 row-block Gram dots for the all-pairs SNP count.
 
-The all-pairs SNP count is an int8 Gram matmul over one-hot base
-planes (ops/snp_jax.py; reference kernel fsacmp.c:552-633).  Two
+The all-pairs SNP count is an int8 Gram matmul over signed base codes
+(three ±1 planes per position, code·code = 4·[equal] − 1 — see
+_signed_planes; reference kernel fsacmp.c:552-633).  This is 0.75x the
+MACs and bytes of the 4-plane one-hot formulation shipped in round 3.  Two
 measured facts (round 3, v5e) shape this design:
 
   * XLA's int8 dot runs at ~183 T-MACs/s (93% of the 197 T-MAC int8
@@ -39,6 +41,27 @@ WB = 512   # u32 words per expansion tile (8192 bases)
 BLK = 512  # row-block height of the triangular Gram dots
 
 
+def _signed_planes(w, inc, k):
+    """±1 3-Gram base code for shift k: three int8 planes (s1, s0,
+    s1*s0) with s = 1-2*bit, zeroed where the position is excluded.
+
+    For two coded positions x, y: code(x)·code(y) = 4*[x == y] - 1, so
+    a Gram dot G over the 3-plane layout gives matches = (G + npos)/4 —
+    0.75x the MACs and expansion bytes of the 4-plane one-hot
+    (VERDICT r3 item 9's proposed reformulation)."""
+    sh = jnp.uint32(30 - 2 * k)
+    b = (w >> sh) & jnp.uint32(3)
+    g = ((inc >> sh) & jnp.uint32(1)) == 1
+    b1 = (b >> 1) & jnp.uint32(1)
+    b0 = b & jnp.uint32(1)
+    one = jnp.int8(1)
+    s1 = jnp.where(b1 == 0, one, jnp.int8(-1))
+    s0 = jnp.where(b0 == 0, one, jnp.int8(-1))
+    z = jnp.int8(0)
+    return (jnp.where(g, s1, z), jnp.where(g, s0, z),
+            jnp.where(g, s1 * s0, z))
+
+
 def _expand_kernel_shared(seq_ref, pm_ref, x_ref):
     # no M output: under a shared mask the include plane is identical
     # for every sample, so npos comes from a popcount of the mask
@@ -46,12 +69,8 @@ def _expand_kernel_shared(seq_ref, pm_ref, x_ref):
     w = seq_ref[:]                                  # (TI, WB) uint32
     pm = jnp.broadcast_to(pm_ref[:], w.shape)       # shared mask row
     for k in range(16):
-        sh = jnp.uint32(30 - 2 * k)
-        b = (w >> sh) & jnp.uint32(3)
-        inc = (pm >> sh) & jnp.uint32(1)
-        for c in range(4):
-            x_ref[:, (k * 4 + c) * WB:(k * 4 + c + 1) * WB] = \
-                ((b == c) & (inc == 1)).astype(jnp.int8)
+        for c, plane in enumerate(_signed_planes(w, pm, k)):
+            x_ref[:, (k * 3 + c) * WB:(k * 3 + c + 1) * WB] = plane
 
 
 def _expand_kernel_pairwise(seq_ref, pm_ref, x_ref, m_ref):
@@ -59,12 +78,10 @@ def _expand_kernel_pairwise(seq_ref, pm_ref, x_ref, m_ref):
     pm = pm_ref[:]                                  # per-sample masks
     for k in range(16):
         sh = jnp.uint32(30 - 2 * k)
-        b = (w >> sh) & jnp.uint32(3)
         inc = (pm >> sh) & jnp.uint32(1)
         m_ref[:, k * WB:(k + 1) * WB] = inc.astype(jnp.int8)
-        for c in range(4):
-            x_ref[:, (k * 4 + c) * WB:(k * 4 + c + 1) * WB] = \
-                ((b == c) & (inc == 1)).astype(jnp.int8)
+        for c, plane in enumerate(_signed_planes(w, pm, k)):
+            x_ref[:, (k * 3 + c) * WB:(k * 3 + c + 1) * WB] = plane
 
 
 def available() -> bool:
@@ -73,14 +90,14 @@ def available() -> bool:
 
 
 def _expand(seqs, masks, pairwise: bool):
-    """(n, W) u32 + masks -> shift-major one-hot X (n, 64W) int8 and
+    """(n, W) u32 + masks -> shift-major ±1 3-Gram X (n, 48W) int8 and
     include plane M (n|1, 16W) int8."""
     n, W = seqs.shape
     assert n % TI == 0 and W % WB == 0, (n, W)
     grid = (n // TI, W // WB)
     seq_spec = pl.BlockSpec((TI, WB), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
-    x_spec = pl.BlockSpec((TI, 64 * WB), lambda i, j: (i, j),
+    x_spec = pl.BlockSpec((TI, 48 * WB), lambda i, j: (i, j),
                           memory_space=pltpu.VMEM)
     # non-TPU backends run the kernel in the Pallas interpreter (used
     # by the CPU test suite; production CPU paths use ops/snp_jax or
@@ -97,7 +114,7 @@ def _expand(seqs, masks, pairwise: bool):
                        pl.BlockSpec((TI, 16 * WB), lambda i, j: (i, j),
                                     memory_space=pltpu.VMEM)],
             out_shape=[
-                jax.ShapeDtypeStruct((n, 64 * W), jnp.int8),
+                jax.ShapeDtypeStruct((n, 48 * W), jnp.int8),
                 jax.ShapeDtypeStruct((n, 16 * W), jnp.int8),
             ],
             interpret=interp,
@@ -110,7 +127,7 @@ def _expand(seqs, masks, pairwise: bool):
                   pl.BlockSpec((1, WB), lambda i, j: (0, j),
                                memory_space=pltpu.VMEM)],
         out_specs=x_spec,
-        out_shape=jax.ShapeDtypeStruct((n, 64 * W), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((n, 48 * W), jnp.int8),
         interpret=interp,
     )(seqs, masks)
     return X, None
@@ -156,10 +173,10 @@ def _pad_w(a, wchunk):
 
 def _chunk_words(npad: int, wchunk: int | None) -> int:
     """Words per accumulation chunk: keep the expanded X chunk
-    (npad x 64*wc int8) around ~512 MiB, in WB multiples."""
+    (npad x 48*wc int8) around ~512 MiB, in WB multiples."""
     if wchunk is not None:
         return max(WB, (wchunk // WB) * WB)
-    wc = (512 * 1024 * 1024) // (64 * npad)
+    wc = (512 * 1024 * 1024) // (48 * npad)
     return int(max(WB, min(2048, (wc // WB) * WB)))
 
 
@@ -190,10 +207,12 @@ def snp_matrix(seqs, paircmask, wchunk: int | None = None):
         return (_tri_dot_acc(c[0], X, nblk, B),
                 c[1] + npos_c.astype(jnp.int32)), None
 
-    (matches, npos), _ = jax.lax.scan(
+    (gram, npos), _ = jax.lax.scan(
         body, (jnp.zeros((np_, np_), jnp.int32), jnp.int32(0)),
         jnp.arange(nc))
-    return (npos - _mirror_tril(matches))[:n, :n]
+    # ±1 3-Gram: G = 4*matches - npos  =>  dist = npos - matches
+    #          = (3*npos - G) / 4  (exact integer division)
+    return ((3 * npos - _mirror_tril(gram)) // 4)[:n, :n]
 
 
 @functools.partial(jax.jit, static_argnames=("wchunk",))
@@ -221,8 +240,10 @@ def snp_matrix_pairwise(seqs, incmasks, wchunk: int | None = None):
         return (_tri_dot_acc(c[0], X, nblk, B),
                 _tri_dot_acc(c[1], M, nblk, B)), None
 
-    (matches, shared), _ = jax.lax.scan(
+    (gram, shared), _ = jax.lax.scan(
         body, (jnp.zeros((np_, np_), jnp.int32),
                jnp.zeros((np_, np_), jnp.int32)), jnp.arange(nc))
     shared = _mirror_tril(shared)
-    return (shared - _mirror_tril(matches))[:n, :n], shared[:n, :n]
+    # dist = shared - matches = (3*shared - G) / 4, exact in integers
+    dist = (3 * shared - _mirror_tril(gram)) // 4
+    return dist[:n, :n], shared[:n, :n]

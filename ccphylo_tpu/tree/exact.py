@@ -272,9 +272,11 @@ def min_q(st: TreeState):
     return mi, int(st.P[mi])
 
 
-def min_q_pair(st: TreeState, seed: int):
+def min_q_pair_seq(st: TreeState, seed: int):
     """minQpair (dnj.c:43-128): revalidate rows whose cached Q beats the
-    current minimum, scanning i descending, tightening as it goes."""
+    current minimum, scanning i descending, tightening as it goes.
+    One-row-at-a-time replica (kept as the semantics reference for
+    min_q_pair's batched form)."""
     pos = (0, 0)
     minv = DBL_MAX
     if seed and st.Q[seed] != DBL_MAX:
@@ -295,6 +297,60 @@ def min_q_pair(st: TreeState, seed: int):
             minv = newq
             pos = (i, mj)
         i -= 1
+    return pos
+
+
+_QPAIR_KB = 128
+
+
+def min_q_pair(st: TreeState, seed: int):
+    """minQpair, batched: candidate rows (cached Q < running min) are
+    recomputed _QPAIR_KB at a time as one (K, width) vectorized pass —
+    trajectory-exact vs min_q_pair_seq including every tie rule: the
+    shifted prefix-min `rm` recovers the C's running min at each row's
+    visit, so exactly the rows minQpair would recompute get fresh
+    caches, and pos updates use the same strict-< / largest-row-wins
+    ordering (the same gating as the device engines' batch_scan;
+    dnj.c:43-128)."""
+    pos = (0, 0)
+    minv = DBL_MAX
+    if seed and st.Q[seed] != DBL_MAX:
+        minv = st.Q[seed]
+        pos = (seed, int(st.P[seed]))
+    Q, P = st.Q, st.P
+    n = st.n
+    sD, N = st.sD, st.N
+    nflat = st.D.flat.shape[0]
+    while True:
+        cand = np.flatnonzero(Q[1:n] < minv) + 1
+        if cand.size == 0:
+            break
+        rows = cand[::-1][:_QPAIR_KB]          # descending visit order
+        K = rows.size
+        width = int(rows[0])
+        idx = np.arange(width)
+        gidx = (rows * (rows - 1) // 2)[:, None] + idx[None, :]
+        vals = st.D.get(np.minimum(gidx, nflat - 1).reshape(-1)) \
+            .reshape(K, width)
+        ok = (idx[None, :] < rows[:, None]) & (vals >= 0)
+        coef = ((N[rows][:, None] + N[None, :width] - 4) >> 1) \
+            .astype(np.float64)
+        q = np.where(ok, coef * vals - sD[rows][:, None]
+                     - sD[None, :width], np.inf)
+        rmin = q.min(axis=1)
+        rarg = np.where(q == rmin[:, None], idx[None, :], -1) \
+            .max(axis=1)                        # `<=` last-wins argmin
+        rminv = np.where(np.isfinite(rmin), rmin, DBL_MAX)
+        rm = np.minimum.accumulate(
+            np.concatenate([[minv], rminv[:-1]]))
+        reval = Q[rows] < rm
+        Q[rows[reval]] = rminv[reval]
+        P[rows[reval]] = np.maximum(rarg[reval], 0)
+        bmin = rminv.min()
+        if bmin < minv:
+            k = int(np.flatnonzero(rminv == bmin)[0])  # largest row
+            minv = bmin
+            pos = (int(rows[k]), int(max(rarg[k], 0)))
     return pos
 
 

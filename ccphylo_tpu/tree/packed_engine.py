@@ -91,7 +91,12 @@ def _mk_one_join_packed(n, W, m, kbatch):
     units; cells read as c (quantized byte), Q as 2*(m_t-2)*c - 2sD_i -
     2sD_k."""
     big = jnp.int32(IBIG)
-    idx = jnp.arange(n)
+    # materialized constant, NOT an iota: the iota form lands the
+    # XLA:TPU buffer assigner on the wrong side of a heuristic that
+    # copies the whole words buffer into the scan-while state
+    # (measured: 1.002 GiB HLO temp at n=32768 / OOM at n=100352 with
+    # iota, 0.001 GiB with the constant — bit-identical HLO otherwise)
+    idx = jnp.asarray(np.arange(n, dtype=np.int32))
     ff = jnp.uint32(0xFF)
 
     def cells_of(words_vals):
@@ -106,7 +111,8 @@ def _mk_one_join_packed(n, W, m, kbatch):
         return mn, jnp.where(q == mn, idx, -1).max().astype(jnp.int32)
 
     def one_join(t, carry):
-        words, sD2, Q, P, seed, I, J, DIJ2, SDI2, SDJ2 = carry
+        (words, sD2, Q, P, seed, I, J, DIJ2, SDI2, SDJ2,
+         stats) = carry
         m_t = m - t
         co = 2 * (m_t - 2)  # Q row coefficient on raw cells
 
@@ -121,8 +127,13 @@ def _mk_one_join_packed(n, W, m, kbatch):
         def bcond(c):
             return cand_mask(c[3], c[0]).any()
 
+        # `words` rides the while carry as an explicit pass-through:
+        # a buffer merely CLOSED OVER by the loop body gets threaded
+        # into the while state as a defensive copy (measured: +9.38 GiB
+        # HLO temp at n=100352 -> OOM), while an explicit carry leaf
+        # aliases in place.
         def bbody(c):
-            minv, pi, pj, Q, P = c
+            minv, pi, pj, Q, P, np_, words = c
             cm = cand_mask(Q, minv)
             rows = topk_mask_indices(cm, idx, kbatch)
             valid = rows >= 1
@@ -151,10 +162,14 @@ def _mk_one_join_packed(n, W, m, kbatch):
             better = bmin < minv
             return (jnp.where(better, bmin, minv),
                     jnp.where(better, bi, pi),
-                    jnp.where(better, karg, pj), Q, P)
+                    jnp.where(better, karg, pj), Q, P, np_ + 1, words)
 
-        minv, pi, pj, Q, P = jax.lax.while_loop(
-            bcond, bbody, (minv0, pi0, pj0, Q, P))
+        Q_pre = Q
+        minv, pi, pj, Q, P, np_, words = jax.lax.while_loop(
+            bcond, bbody, (minv0, pi0, pj0, Q, P, jnp.int32(0), words))
+        # stats: [0] scan passes, [1] rows whose cache changed (~reval)
+        stats = stats.at[0].add(np_)
+        stats = stats.at[1].add((Q != Q_pre).sum(dtype=jnp.int32))
         hp = (pi != 0) | (pj != 0)
         i, j = pi, pj
 
@@ -274,7 +289,8 @@ def _mk_one_join_packed(n, W, m, kbatch):
 
         I = I.at[t].set(jnp.where(hp, i, 0))
         J = J.at[t].set(jnp.where(hp, j, 0))
-        return words, sD2, Q, P, seed, I, J, DIJ2, SDI2, SDJ2
+        return (words, sD2, Q, P, seed, I, J, DIJ2, SDI2, SDJ2,
+                stats)
 
     return one_join
 
@@ -380,14 +396,54 @@ def _packed_init(words, m):
 
 
 @functools.partial(jax.jit, static_argnames=("kbatch",),
-                   donate_argnums=tuple(range(10)))
+                   donate_argnums=tuple(range(11)))
 def _packed_segment(words, sD2, Q, P, seed, I, J, DIJ2, SDI2, SDJ2,
-                    t0, t1, m, kbatch=128):
+                    stats, t0, t1, m, kbatch=128):
     n, W = words.shape
     one_join = _mk_one_join_packed(n, W, m, kbatch)
     return jax.lax.fori_loop(
         t0, t1, one_join,
-        (words, sD2, Q, P, seed, I, J, DIJ2, SDI2, SDJ2))
+        (words, sD2, Q, P, seed, I, J, DIJ2, SDI2, SDJ2, stats))
+
+
+_STATE_KEYS = ("words", "sD2", "Q", "P", "seed", "I", "J", "DIJ2",
+               "SDI2", "SDJ2", "stats")
+
+
+def _ckpt_config():
+    import os
+    d = os.environ.get("CCPHYLO_TPU_CKPT", "")
+    if not d:
+        return None, 0.0
+    try:
+        every = float(os.environ.get("CCPHYLO_TPU_CKPT_EVERY_S", "300"))
+    except ValueError:
+        every = 300.0
+    return d, every
+
+
+def _ckpt_save(path, state, done, n, m, kbatch):
+    import os
+    import time as _t
+    t0 = _t.perf_counter()
+    payload = {k: np.asarray(v) for k, v in zip(_STATE_KEYS, state)}
+    payload["meta"] = np.array([done, n, m, kbatch], np.int64)
+    tmp = path + ".tmp.npz"  # .npz suffix: savez must not append one
+    np.savez(tmp, **payload)
+    os.replace(tmp, path)
+    return _t.perf_counter() - t0
+
+
+def _ckpt_load(path, n, m, kbatch):
+    try:
+        d = np.load(path)
+    except (OSError, ValueError):
+        return None, 0
+    meta = d["meta"]
+    if int(meta[1]) != n or int(meta[2]) != m or int(meta[3]) != kbatch:
+        return None, 0
+    state = tuple(jnp.asarray(d[k]) for k in _STATE_KEYS)
+    return state, int(meta[0])
 
 
 def dnj_joins_packed(words, m, kbatch: int = 128, hooks=None):
@@ -399,28 +455,60 @@ def dnj_joins_packed(words, m, kbatch: int = 128, hooks=None):
     int32 join records in u = 1/(2*ByteScale) units (see module doc;
     convert limbs with `limbs_host`).  words is donated and returned so
     XLA aliases it in place.  `hooks`, if given, is passed through to
-    run_segmented (checkpoint/instrumentation callbacks).
+    run_segmented (extra instrumentation callbacks).
+
+    Checkpoint/resume (reference analog: printphyUpdate's resumable
+    growth, phy.c:201-249): set CCPHYLO_TPU_CKPT=/path/file.npz to
+    snapshot the full device state every CCPHYLO_TPU_CKPT_EVERY_S
+    seconds (default 300) at a fenced segment boundary — atomic
+    replace, so a kill mid-write keeps the previous snapshot.  On the
+    next call with matching (n, m, kbatch) the run resumes from the
+    snapshot and, because the engine is exact-integer, produces
+    byte-identical records to an uninterrupted run.
     """
+    import os
+    import time as _t
     n, W = words.shape
     assert 4 * W == n, "words must tile a square byte matrix"
     m_host = int(m)
     mj = jnp.int32(m_host)
-    sD2, Q, P, seed = _packed_init(words, mj)
-    I = jnp.zeros(n, jnp.int32)
-    J = jnp.zeros(n, jnp.int32)
-    DIJ2 = jnp.zeros(n, jnp.int32)
-    SDI2 = jnp.zeros(n, jnp.int32)
-    SDJ2 = jnp.zeros(n, jnp.int32)
-    state = (words, sD2, Q, P, seed, I, J, DIJ2, SDI2, SDJ2)
+
+    ckpt_path, ckpt_every = _ckpt_config()
+    state, start = (None, 0)
+    if ckpt_path and os.path.exists(ckpt_path):
+        state, start = _ckpt_load(ckpt_path, n, m_host, kbatch)
+    if state is None:
+        sD2, Q, P, seed = _packed_init(words, mj)
+        state = (words, sD2, Q, P, seed,
+                 jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
+                 jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
+                 jnp.zeros(n, jnp.int32), jnp.zeros(4, jnp.int32))
+        start = 0
 
     def seg_call(state, t0, t1):
         return _packed_segment(*state, jnp.int32(t0), jnp.int32(t1),
                                mj, kbatch=kbatch)
 
+    last_ckpt = [_t.perf_counter()]
+
+    def _hooks(state, done, total):
+        if ckpt_path and done < total \
+                and _t.perf_counter() - last_ckpt[0] >= ckpt_every:
+            _ckpt_save(ckpt_path, state, done, n, m_host, kbatch)
+            last_ckpt[0] = _t.perf_counter()
+        if hooks is not None:
+            hooks(state, done, total)
+
     state = run_segmented(seg_call, state, max(m_host - 2, 0),
-                          **({"hooks": hooks} if hooks else {}))
-    words, sD2, Q, P, seed, I, J, DIJ2, SDI2, SDJ2 = state
+                          hooks=_hooks, start=start)
+    words, sD2, Q, P, seed, I, J, DIJ2, SDI2, SDJ2, stats = state
     d_last2 = 2 * (words[1, 0] & jnp.uint32(0xFF)).astype(jnp.int32)
+    dnj_joins_packed.last_stats = np.asarray(stats)
+    if ckpt_path and os.path.exists(ckpt_path):
+        try:
+            os.remove(ckpt_path)  # completed: snapshot no longer valid
+        except OSError:
+            pass
     return I, J, DIJ2, SDI2, SDJ2, d_last2, words
 
 

@@ -199,3 +199,30 @@ def test_tree_device64_oracle_1k_tied(oracle, tmp_path):
     ref = run_oracle(oracle, args)
     dev = _run(args, tmp_path, {"CCPHYLO_TPU_ENGINE": "device64"})
     assert dev == ref
+
+
+@pytest.mark.parametrize("method", ["upgma", "cf", "mn", "ff", "hnj",
+                                    "nj"])
+def test_tree_device_float_guard(method):
+    """Float (non-integer) matrices through CCPHYLO_TPU_ENGINE=device:
+    every hclust-family method must match the host byte-parity engine —
+    upgma/cf/mn run on device (parity on floats by design), ff/hnj/nj
+    fall back to the host engine with a stderr note (VERDICT r3 item 7:
+    the device engine is only tie-exact on integer data for those
+    three)."""
+    args = ["tree", "-m", method, "-i",
+            str(REFERENCE / "test.phy.gz")]
+    host = _run(args, REPO)
+    # upgma/cf/mn: device64 is the documented float-parity tier (f32
+    # limb printing differs in last digits); ff/hnj/nj: any device
+    # tier must fall back on float data
+    eng = "device64" if method in ("upgma", "cf", "mn") else "device"
+    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
+           "JAX_PLATFORMS": "cpu", "CCPHYLO_TPU_ENGINE": eng}
+    res = subprocess.run(
+        [sys.executable, "-m", "ccphylo_tpu"] + args,
+        capture_output=True, cwd=REPO, timeout=600, env=env)
+    assert res.returncode == 0, res.stderr.decode(errors="replace")
+    assert res.stdout == host
+    if method in ("ff", "hnj", "nj"):
+        assert b"using the host engine" in res.stderr

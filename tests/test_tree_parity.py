@@ -129,3 +129,45 @@ def test_mmap_matrix(oracle, tmp_path):
     for m in ["dnj", "upgma"]:
         args = ["tree", "-m", m, "-H", "-T", str(tmp_path), "-i", str(p)]
         assert run_ours(args) == run_oracle(oracle, args)
+
+
+def test_min_q_pair_batch_equals_seq():
+    """The batched minQpair must follow min_q_pair_seq's trajectory
+    bit-for-bit on tie-dense integer data, including the Q/P cache
+    state it leaves behind."""
+    import numpy as np
+    from ccphylo_tpu.tree import exact as ex
+
+    n = 700
+    rng = np.random.RandomState(42)
+    flat = rng.randint(0, 25, n * (n - 1) // 2).astype(np.float64)
+
+    def records(qpair):
+        st = ex.TreeState(flat.copy(), n, "b", 1.0)
+        ex.METHODS["dnj"]["init"](st)
+        update = ex.METHODS["dnj"]["update"]
+        pop = ex.METHODS["dnj"]["pop"]
+        j = ex.min_q(st)[0]
+        out = []
+        while st.n != 2:
+            i, j2 = qpair(st, j)
+            if i == 0 and j2 == 0:
+                break
+            out.append((i, j2))
+            Li, Lj = ex.limb_length(i, j2, st.sD, st.N,
+                                    ex._d_ij(st, i, j2), False)
+            mi = update(st, i, j2, Li, Lj)
+            mj = pop(st, i)
+            if mj == st.n:
+                j = mi
+            elif mi == st.n:
+                j = mj
+            else:
+                j = ex.min_pos(st.Q, mi, mj)
+        return out, st.Q.copy(), st.P.copy()
+
+    ra, qa, pa = records(ex.min_q_pair_seq)
+    rb, qb, pb = records(ex.min_q_pair)
+    assert ra == rb
+    np.testing.assert_array_equal(qa, qb)
+    np.testing.assert_array_equal(pa, pb)
