@@ -205,16 +205,32 @@ def _mk_one_join_packed(n, W, m, kbatch):
         rowj_bytes = jnp.where(valid_k, q_new, _unpack_words(rowj_w))
         words = jax.lax.dynamic_update_slice(
             words, _pack_bytes(rowj_bytes)[None, :], (j, jnp.int32(0)))
-        # column j: byte lane j%4 of word column j//4
-        jw = j // 4
-        sh = (jnp.uint32(8) * (j % 4).astype(jnp.uint32))
-        colw = jax.lax.dynamic_slice(words, (jnp.int32(0), jw),
-                                     (n, 1))[:, 0]
-        keep = ~(ff << sh)
-        colw_new = jnp.where(valid_k, (colw & keep) | (q_new << sh),
-                             colw)
-        words = jax.lax.dynamic_update_slice(
-            words, colw_new[:, None], (jnp.int32(0), jw))
+        # column maintenance WITHOUT a column read-modify-write: rows
+        # and columns are symmetric at all times, so word column jw's
+        # four byte lanes equal the four sibling rows 4jw..4jw+3 (row
+        # j freshly written above).  Rebuild the word column from
+        # post-write row reads — patching each sibling lane at the
+        # just-rewritten row's index, whose fresh cells the stale
+        # sibling rows don't reflect yet — and write it
+        # unconditionally.  No dynamic lane shifts, no RMW dependency
+        # on the big buffer: the RMW formulation made XLA assign the
+        # scan loop a {1,0} layout for `words` and insert a full
+        # layout-conversion copy of it per join (measured round 4:
+        # copy.23 u32[n,W]{1,0} in the optimized HLO; 1.0 GiB/join at
+        # n=32768, compile-time HBM OOM at n=100352).
+        def write_word_col(words, wcol, srow, srow_bytes):
+            lanes = []
+            for la in range(4):
+                lane = _unpack_words(read_row(words, 4 * wcol + la))
+                lanes.append(lane.at[srow].set(
+                    srow_bytes[4 * wcol + la]))
+            colw = (lanes[0] | (lanes[1] << jnp.uint32(8))
+                    | (lanes[2] << jnp.uint32(16))
+                    | (lanes[3] << jnp.uint32(24)))
+            return jax.lax.dynamic_update_slice(
+                words, colw[:, None], (jnp.int32(0), wcol))
+
+        words = write_word_col(words, j // 4, j, rowj_bytes)
 
         # cache repair for column j + fresh row j (reads see quantized;
         # post-updateD N = m_t - 1 -> (N_j + N_k - 4) >> 1 = m_t - 3)
@@ -226,7 +242,8 @@ def _mk_one_join_packed(n, W, m, kbatch):
         Q = Q.at[j].set(jnp.where(hp, Qj, Q[j]))
         P = P.at[j].set(jnp.where(hp, jnp.where(Qj == big, 0, Pj),
                                   P[j]))
-        colj = ((colw_new >> sh) & ff).astype(jnp.int32)
+        # column j's post-update cells == the freshly written row j
+        colj = rowj_bytes.astype(jnp.int32)
         qcol = co_post * colj - sD2[j] - sD2
         colk = valid_k & (idx > j)
         upd = colk & (qcol <= Q)
@@ -247,15 +264,7 @@ def _mk_one_join_packed(n, W, m, kbatch):
         rowi_bytes = jnp.where(g, newrow_i, rowi_old_bytes)
         words = jax.lax.dynamic_update_slice(
             words, _pack_bytes(rowi_bytes)[None, :], (i, jnp.int32(0)))
-        iw = i // 4
-        shi = (jnp.uint32(8) * (i % 4).astype(jnp.uint32))
-        colwi = jax.lax.dynamic_slice(words, (jnp.int32(0), iw),
-                                      (n, 1))[:, 0]
-        keepi = ~(ff << shi)
-        colwi_new = jnp.where(g, (colwi & keepi) | (newrow_i << shi),
-                              colwi)
-        words = jax.lax.dynamic_update_slice(
-            words, colwi_new[:, None], (jnp.int32(0), iw))
+        words = write_word_col(words, i // 4, i, rowi_bytes)
         sD2 = sD2.at[i].set(jnp.where(g, sD2[last], sD2[i]))
         ci_post = rowi_bytes.astype(jnp.int32)
         qi = co_post * ci_post - sD2[i] - sD2
@@ -264,7 +273,8 @@ def _mk_one_join_packed(n, W, m, kbatch):
         Q = Q.at[i].set(jnp.where(g, Qi, Q[i]))
         P = P.at[i].set(jnp.where(g, jnp.where(Qi == big, 0, Pi),
                                   P[i]))
-        coli = ((colwi_new >> shi) & ff).astype(jnp.int32)
+        # column i's post-move cells == the freshly written row i
+        coli = rowi_bytes.astype(jnp.int32)
         qc = co_post * coli - sD2[i] - sD2
         ck = (idx > i) & (idx < last) & g
         u2 = ck & (qc <= Q)
