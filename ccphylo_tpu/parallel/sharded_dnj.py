@@ -56,8 +56,15 @@ def _pad_to(n: int, mult: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _dnj_program(mesh: Mesh, axis: str, npad: int, n: int,
-                 dtype_name: str, neg: bool):
+def _dnj_programs(mesh: Mesh, axis: str, npad: int, n: int,
+                  dtype_name: str, neg: bool):
+    """(init, segment) jitted shard_map programs.
+
+    Round-4 split: the join loop dispatches as host-driven segments
+    (tree/segmenting.py) exactly like the single-chip engines, so no
+    single XLA execution outlives the runtime watchdog at any n —
+    the round-3 monolithic whole-loop program capped TPU runs at
+    whatever finished in ~15 s."""
     dtype = jnp.dtype(dtype_name)
     ndev = mesh.shape[axis]
     R = npad // ndev
@@ -65,20 +72,9 @@ def _dnj_program(mesh: Mesh, axis: str, npad: int, n: int,
     cols = jnp.arange(npad)
     lidx = jnp.arange(R)
 
-    def body(Dl):
+    def body_init(Dl):
         dev = jax.lax.axis_index(axis)
         gi = dev * R + lidx  # global indices of my rows
-
-        def own_row(r):
-            """(is_mine, local_index) for global row r."""
-            return (r // R) == dev, r % R
-
-        def bcast_row(Dl, r):
-            """psum-broadcast global row r of the live local block
-            (O(n) over ICI)."""
-            own, lr = own_row(r)
-            return jax.lax.psum(
-                jnp.where(own, Dl[lr], jnp.zeros(npad, dtype)), axis)
 
         # --- init: sD, N (initSummaD) + row caches (initHNJ) ---------
         act0 = cols < n
@@ -114,6 +110,22 @@ def _dnj_program(mesh: Mesh, axis: str, npad: int, n: int,
         seed0 = jnp.where(cands0[:, 0] == gmin0, cands0[:, 1],
                           -1.0).max().astype(jnp.int32)
         seed0 = jnp.maximum(seed0, 0)
+        return sDl, Nl, Ql, Pl, seed0
+
+    def body_seg(Dl, sDl, Nl, Ql, Pl, seed, I, J, LI, LJ, t0, t1):
+        dev = jax.lax.axis_index(axis)
+        gi = dev * R + lidx  # global indices of my rows
+
+        def own_row(r):
+            """(is_mine, local_index) for global row r."""
+            return (r // R) == dev, r % R
+
+        def bcast_row(Dl, r):
+            """psum-broadcast global row r of the live local block
+            (O(n) over ICI)."""
+            own, lr = own_row(r)
+            return jax.lax.psum(
+                jnp.where(own, Dl[lr], jnp.zeros(npad, dtype)), axis)
 
         def get_scalar(vec_l, r, fill):
             own, lr = own_row(r)
@@ -421,23 +433,22 @@ def _dnj_program(mesh: Mesh, axis: str, npad: int, n: int,
             LJ = LJ.at[t].set(jnp.where(hp, Lj, -1.0))
             return Dl, sDl, Nl, Ql, Pl, seed, I, J, LI, LJ
 
-        vary = lambda x: jax.lax.pvary(x, (axis,))
-        I = vary(jnp.zeros(max(n - 2, 1), jnp.int32))
-        J = vary(jnp.zeros(max(n - 2, 1), jnp.int32))
-        LI = vary(jnp.zeros(max(n - 2, 1), dtype))
-        LJ = vary(jnp.zeros(max(n - 2, 1), dtype))
-        carry = (Dl, sDl, Nl, Ql, Pl, seed0, I, J, LI, LJ)
-        Dl, sDl, Nl, Ql, Pl, seed, I, J, LI, LJ = jax.lax.fori_loop(
-            0, n - 2, one_join, carry)
-        # the final pair's distance: D[1, 0]
-        own1, l1 = own_row(jnp.int32(1))
-        d_last = jax.lax.psum(
-            jnp.where(own1, Dl[l1, 0], jnp.asarray(0, dtype)), axis)
-        return I, J, LI, LJ, d_last
+        carry = (Dl, sDl, Nl, Ql, Pl, seed, I, J, LI, LJ)
+        return jax.lax.fori_loop(t0, t1, one_join, carry)
 
-    fn = shard_map(body, mesh=mesh, in_specs=(P(axis, None),),
-                   out_specs=(P(),) * 5, check_vma=False)
-    return jax.jit(fn)
+    init_fn = jax.jit(shard_map(
+        body_init, mesh=mesh, in_specs=(P(axis, None),),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        check_vma=False))
+    seg_fn = jax.jit(
+        shard_map(body_seg, mesh=mesh,
+                  in_specs=(P(axis, None),) + (P(axis),) * 4
+                  + (P(),) * 7,
+                  out_specs=(P(axis, None),) + (P(axis),) * 4
+                  + (P(),) * 5,
+                  check_vma=False),
+        donate_argnums=tuple(range(10)))
+    return init_fn, seg_fn
 
 
 def sharded_dnj_records(D: np.ndarray, n: int, mesh: Mesh,
@@ -463,9 +474,24 @@ def sharded_dnj_records(D: np.ndarray, n: int, mesh: Mesh,
     Dd = jax.make_array_from_callback(
         Dp.shape, NamedSharding(mesh, P(axis, None)),
         lambda idx: Dp[idx])
-    prog = _dnj_program(mesh, axis, npad, n, dt.name, neg)
-    out = prog(Dd)
-    return tuple(np.asarray(x) for x in out)
+    init_fn, seg_fn = _dnj_programs(mesh, axis, npad, n, dt.name, neg)
+    sDd, Nd, Qd, Pd, seed = init_fn(Dd)
+    rep = NamedSharding(mesh, P())
+    T = max(n - 2, 1)
+    zi = jax.device_put(np.zeros(T, np.int32), rep)
+    zj = jax.device_put(np.zeros(T, np.int32), rep)
+    zli = jax.device_put(np.zeros(T, dt), rep)
+    zlj = jax.device_put(np.zeros(T, dt), rep)
+    state = (Dd, sDd, Nd, Qd, Pd, seed, zi, zj, zli, zlj)
+
+    def seg_call(state, t0, t1):
+        return seg_fn(*state, jnp.int32(t0), jnp.int32(t1))
+
+    from ..tree.segmenting import run_segmented
+    state = run_segmented(seg_call, state, max(n - 2, 0))
+    Dd, sDd, Nd, Qd, Pd, seed, I, J, LI, LJ = state
+    d_last = Dd[1, 0]
+    return tuple(np.asarray(x) for x in (I, J, LI, LJ, d_last))
 
 
 def build_tree_sharded_dnj(flat64: np.ndarray, n: int, names: list[Name],

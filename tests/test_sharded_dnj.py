@@ -132,7 +132,7 @@ def test_sharded_tie_exact_multipass(n=144, seed=3):
     import ccphylo_tpu.parallel.sharded_dnj as sd
     mesh = _mesh(8)
     old = sd.KBATCH
-    sd._dnj_program.cache_clear()
+    sd._dnj_programs.cache_clear()
     sd.KBATCH = 2
     try:
         rng = np.random.RandomState(seed)
@@ -145,4 +145,4 @@ def test_sharded_tie_exact_multipass(n=144, seed=3):
         assert sharded == exact
     finally:
         sd.KBATCH = old
-        sd._dnj_program.cache_clear()
+        sd._dnj_programs.cache_clear()
