@@ -185,6 +185,9 @@ def main():
     ap.add_argument("--kbatch", type=int, default=128)
     ap.add_argument("--vs-batch", action="store_true")
     ap.add_argument("--newick-out", default=None)
+    ap.add_argument("--c-nwck", default=None,
+                    help="pre-computed reference Newick to compare "
+                         "against (skips re-running the C binary)")
     ap.add_argument("--records-out", default=None)
     ap.add_argument("--records-in", default=None)
     args = ap.parse_args()
@@ -233,6 +236,18 @@ def main():
     if args.newick_out:
         with open(args.newick_out, "wb") as fh:
             fh.write(nwck)
+    if args.c_nwck:
+        cbytes = open(args.c_nwck, "rb").read()
+        if cbytes == nwck:
+            print(f"NEWICK PARITY OK vs reference at n={args.n}")
+        else:
+            print("NEWICK MISMATCH vs reference")
+            for k in range(min(len(cbytes), len(nwck))):
+                if cbytes[k] != nwck[k]:
+                    print("first differing byte at", k,
+                          cbytes[k - 40:k + 40], nwck[k - 40:k + 40])
+                    break
+            sys.exit(1)
     if args.c and args.phy:
         out = args.phy + ".c.nwck"
         t0 = time.perf_counter()
