@@ -1,0 +1,782 @@
+"""Host-streamed packed DNJ — the beyond-HBM (mmap-analog) engine.
+
+The reference reaches one million taxa on a single node by keeping the
+quantized lower-triangular matrix on disk behind mmap and letting the
+OS page the hot rows (matrix.c:116-231, bytescale.h:20-23; dnj.c:985-
+1162 runs unchanged on top).  TPU-native equivalent built here: the
+canonical u8 matrix lives in HOST memory (optionally a numpy memmap on
+disk — the literal mmap analog), and the chip holds
+
+  * a row CACHE of X rows, (X, W) uint32 words (4 cells/word), addressed
+    through slot indirection `slotof[row] -> slot`, `rowof[slot] -> row`;
+  * a column-patch RING of the last F written columns, (F, W) words +
+    (col, t) metadata: every join writes rows i and j in full, and by
+    the engine's row/column symmetry those rows ARE the updated columns
+    — so a cached row r that missed later column writes is repaired on
+    read by overlaying `ring_vals[f][r]` at column `ring_col[f]` for
+    every entry with `ring_t[f] >= epoch[slot]`;
+  * `epoch[slot]`: the join time through which the slot's content is
+    current.  Rows gathered by the scan are patched and written back
+    with a fresh epoch (self-refreshing hot set); rows that fall behind
+    the ring window (`epoch <= ring_floor`, the floor rising as ring
+    slots are recycled) become unfetchable and must be re-uploaded.
+
+A segment (tree/segmenting.py) executes joins while every row it needs
+— the scan candidate set {r: Q[r] < minv0}, the pair rows (i, j =
+P[i]), and the popArrange source row `last` — is fetchable.  The first
+join that would touch a non-fetchable row ABORTS the segment before
+mutating join state; the device reports the missing rows and the host
+(1) replays the completed join records onto the canonical host matrix
+(exact-integer replay, bit-identical bytes by construction), (2)
+uploads the missing rows plus a bottom-Q prefetch set at the current
+epoch, evicting the highest-Q residents, and (3) re-dispatches.  All
+trajectory arithmetic is the same int32 u-unit arithmetic as
+tree/packed_engine.py, so the join records are bit-identical to the
+in-HBM engine (and to the C reference) at any cache size — the cache
+only decides WHEN a row is read, never what it contains.
+
+Scaling: HBM holds X*n bytes of cache + F*n bytes of ring + O(n) state
+instead of the n^2 matrix; host RAM (or disk via --mmap) holds the n^2
+bytes.  At n = 200704 that is ~40 GB host-side against ~10-13 GB HBM
+(X = 49152, F = 1024) on a 16 GB chip.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time as _time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.select import topk_mask_indices
+from .packed_engine import (IBIG, _pack_bytes, _unpack_words, limbs_host)
+from .segmenting import run_segmented
+
+MMAX = 2048  # missing-row report capacity per abort
+
+
+def _pad512(n: int) -> int:
+    return max(-(-n // 512) * 512, 512)
+
+
+# ---------------------------------------------------------------------
+# device programs
+
+
+def _mk_one_join_streamed(n, W, X, F, m, kbatch):
+    """one_join over the (X, W) cache + (F, W) ring.  Mirrors
+    packed_engine._mk_one_join_packed cell for cell; only row access
+    goes through slots/patches and column writes become ring appends."""
+    big = jnp.int32(IBIG)
+    idx = jnp.asarray(np.arange(n, dtype=np.int32))
+    fidx = jnp.asarray(np.arange(F, dtype=np.int32))
+
+    def st(c, k, v):
+        c = dict(c)
+        c[k] = v
+        return c
+
+    def fetchable(c, r):
+        s = c["slotof"][r]
+        return (s >= 0) & (c["epoch"][jnp.maximum(s, 0)] > c["ring_floor"])
+
+    def patch_pred(c, s):
+        """(F,) bool: ring entries applicable to slot s."""
+        return (c["ring_col"] >= 0) & (c["ring_t"] >= c["epoch"][s])
+
+    def fetch_one(c, r):
+        """(n,) int32 cells of row r, ring-patched (caller ensures
+        fetchable)."""
+        s = jnp.maximum(c["slotof"][r], 0)
+        bytes_ = _unpack_words(c["cache"][s])               # (n,) u32
+        rw, rl = r // 4, (r % 4).astype(jnp.uint32)
+        pv = (c["ring_vals"][:, rw] >> (8 * rl)) & jnp.uint32(0xFF)
+        pred = patch_pred(c, s)
+        tgt = jnp.where(pred, c["ring_col"], n)
+        bytes_ = bytes_.at[tgt].set(jnp.where(pred, pv, 0), mode="drop")
+        return bytes_.astype(jnp.int32)
+
+    def fetch_batch(c, rs, valid, t):
+        """(K, n) int32 cells for rows rs; patched; written back with a
+        fresh epoch (self-refresh)."""
+        s = jnp.where(valid, c["slotof"][jnp.where(valid, rs, 0)], 0)
+        blk = c["cache"][s]                                 # (K, W) u32
+        bytes_ = _unpack_words(blk)                         # (K, n) u32
+        rw = jnp.where(valid, rs, 0) // 4
+        rl = (jnp.where(valid, rs, 0) % 4).astype(jnp.uint32)
+        # (F, K) ring byte values at the gathered rows
+        pv = (c["ring_vals"][:, rw] >> (8 * rl)[None, :]) \
+            & jnp.uint32(0xFF)
+        pred = (c["ring_col"] >= 0)[:, None] \
+            & (c["ring_t"][:, None] >= c["epoch"][s][None, :])
+        K = rs.shape[0]
+        kk = jnp.asarray(np.arange(K, dtype=np.int32))
+        rowix = jnp.broadcast_to(kk[None, :], (F, K))
+        colix = jnp.where(pred, c["ring_col"][:, None], n)
+        bytes_ = bytes_.at[rowix, colix].set(pv, mode="drop")
+        # write-back: patched content is current through join t-1
+        sw = jnp.where(valid, s, X)
+        c = st(c, "cache", c["cache"].at[sw].set(
+            _pack_bytes(bytes_), mode="drop"))
+        c = st(c, "epoch", c["epoch"].at[sw].set(t, mode="drop"))
+        return c, bytes_.astype(jnp.int32)
+
+    def ring_append(c, col, vals_bytes, t):
+        """Record column `col` = `vals_bytes` (n u32 byte values) at
+        join t; one live entry per column, floor rises on recycle."""
+        e_old = c["ring_index"][col]
+        have = e_old >= 0
+        e = jnp.where(have, e_old, c["ring_next"] % F)
+        evc = c["ring_col"][e]
+        evict = (~have) & (evc >= 0)
+        c = st(c, "ring_floor",
+               jnp.maximum(c["ring_floor"],
+                           jnp.where(evict, c["ring_t"][e],
+                                     c["ring_floor"])))
+        c = st(c, "ring_index", c["ring_index"]
+               .at[jnp.where(evict, evc, n)].set(-1, mode="drop"))
+        c = st(c, "ring_vals", jax.lax.dynamic_update_slice(
+            c["ring_vals"], _pack_bytes(vals_bytes)[None, :],
+            (e, jnp.int32(0))))
+        c = st(c, "ring_col", c["ring_col"].at[e].set(col))
+        c = st(c, "ring_t", c["ring_t"].at[e].set(t))
+        c = st(c, "ring_index", c["ring_index"].at[col].set(e))
+        c = st(c, "ring_next",
+               c["ring_next"] + jnp.where(have, 0, 1))
+        return c
+
+    def write_row(c, r, bytes_u32, t_epoch):
+        """Store row r's content (u32 byte values) into its slot."""
+        s = jnp.maximum(c["slotof"][r], 0)
+        c = st(c, "cache", jax.lax.dynamic_update_slice(
+            c["cache"], _pack_bytes(bytes_u32)[None, :],
+            (s, jnp.int32(0))))
+        c = st(c, "epoch", c["epoch"].at[s].set(t_epoch))
+        return c
+
+    def last_min(q):
+        mn = q.min()
+        return mn, jnp.where(q == mn, idx, -1).max().astype(jnp.int32)
+
+    def one_join(c):
+        t = c["t"]
+        m_t = m - t
+        co = 2 * (m_t - 2)
+        Q, P, sD2 = c["Q"], c["P"], c["sD2"]
+        seed = c["seed"]
+
+        seed_ok = (seed != 0) & (Q[seed] != big)
+        minv0 = jnp.where(seed_ok, Q[seed], big)
+        pi0 = jnp.where(seed_ok, seed, 0)
+        pj0 = jnp.where(seed_ok, P[seed], 0)
+        last = m_t - 1
+
+        # ---- pre-check: the fixed rows this join always touches -----
+        # (scan candidates are checked batch-by-batch inside the scan:
+        # the C's cummin gating visits only the descending prefix whose
+        # bounds beat the running min — typically passes*kbatch rows —
+        # so demanding the whole {Q < minv0} superset be resident would
+        # force X >= |cand| for nothing)
+        fetch_ok = (c["slotof"] >= 0) \
+            & (c["epoch"][jnp.maximum(c["slotof"], 0)] > c["ring_floor"])
+        need = (idx == last) \
+            | (seed_ok & ((idx == pi0) | (idx == pj0)))
+        missing = need & ~fetch_ok
+        ok_pre = ~missing.any()
+
+        def abort(c, missing_mask, extra0, extra1):
+            mm = topk_mask_indices(missing_mask, idx, MMAX - 2)
+            miss = jnp.concatenate(
+                [jnp.stack([extra0, extra1]), mm])
+            c = st(c, "miss", miss)
+            c = st(c, "ok", jnp.bool_(False))
+            c = st(c, "stats", c["stats"].at[2].add(1))
+            return c
+
+        def do_scan(c):
+            def cand_mask(Q, minv):
+                return (idx >= 1) & (idx < m_t) & (Q < minv)
+
+            def bcond(s_):
+                return s_[7] & cand_mask(s_[3], s_[0]).any()
+
+            def bbody(s_):
+                minv, pi, pj, Q, P, np_, c, sok = s_
+                cm = cand_mask(Q, minv)
+                rows = topk_mask_indices(cm, idx, kbatch)
+                valid = rows >= 1
+                r = jnp.where(valid, rows, 0)
+                # abort the scan on the first actually-unfetchable
+                # gather (redo-safe: revalidation writes exact values
+                # the C would write at this join, so re-running the
+                # scan after a host refresh picks the same pair)
+                s_r = c["slotof"][r]
+                row_ok = ~valid | ((s_r >= 0)
+                                   & (c["epoch"][jnp.maximum(s_r, 0)]
+                                      > c["ring_floor"]))
+                allok = row_ok.all()
+                miss_rows = jnp.where(valid & ~row_ok, rows, -1)
+                c = st(c, "miss", jax.lax.dynamic_update_slice(
+                    jnp.full(MMAX, -1, jnp.int32), miss_rows,
+                    (jnp.int32(2),)) if kbatch <= MMAX - 2 else c["miss"])
+                c2, Crows = fetch_batch(c, r, valid & row_ok, t)
+                q = co * Crows - sD2[r][:, None] - sD2[None, :]
+                ok = idx[None, :] < r[:, None]
+                q = jnp.where(ok, q, big)
+                rmin = q.min(axis=1)
+                rarg = jnp.where(q == rmin[:, None], idx[None, :], -1) \
+                    .max(axis=1).astype(jnp.int32)
+                rminv = jnp.where(valid, rmin, big)
+                rm = jax.lax.cummin(
+                    jnp.concatenate([minv[None], rminv[:-1]]))
+                reval = valid & (Q[r] < rm) & allok
+                tgt = jnp.where(reval, rows, n)
+                Q = Q.at[tgt].set(jnp.where(reval, rmin, big),
+                                  mode="drop")
+                P = P.at[tgt].set(jnp.where(reval, rarg, 0),
+                                  mode="drop")
+                bvals = jnp.where(valid, rmin, big)
+                bmin = bvals.min()
+                bi = jnp.where(bvals == bmin, rows, -1).max() \
+                    .astype(jnp.int32)
+                karg = jnp.where((bvals == bmin) & (rows == bi),
+                                 rarg, 0).max().astype(jnp.int32)
+                better = (bmin < minv) & allok
+                return (jnp.where(better, bmin, minv),
+                        jnp.where(better, bi, pi),
+                        jnp.where(better, karg, pj), Q, P,
+                        np_ + 1, jax.lax.cond(allok, lambda a, b: a,
+                                              lambda a, b: b, c2, c),
+                        allok)
+
+            minv, pi, pj, Qf, Pf, np_, c, sok = jax.lax.while_loop(
+                bcond, bbody,
+                (minv0, pi0, pj0, Q, P, jnp.int32(0), c,
+                 jnp.bool_(True)))
+            c = st(c, "stats", c["stats"].at[0].add(np_))
+            # commit the scan's revalidations ONLY on full completion:
+            # a partial reval set redone later runs the cummin gating
+            # against different bounds than the C's single pristine
+            # scan, and cached values feed every future join's gating
+            # (measured: Q[266] over-revalidated at n=600 join 81)
+            c = st(c, "Q", jnp.where(sok, Qf, Q))
+            c = st(c, "P", jnp.where(sok, Pf, P))
+            return c, minv, pi, pj, sok
+
+        def do_join(c, pi, pj):
+            i, j = pi, pj
+            hp = (pi != 0) | (pj != 0)
+            sD2 = c["sD2"]
+            ci = fetch_one(c, i)
+            cj = fetch_one(c, j)
+            cij = ci[j]
+            # fetch the popArrange source BEFORE any ring appends: an
+            # append below may recycle a ring slot whose column patch
+            # this row still needs (the pre-check validated against the
+            # pre-join floor; measured failure without this: stale cell
+            # read at a recycled column, n=600 join 565).  The only
+            # cell of `last` this join changes is column j = q_new.
+            last_pre = fetch_one(c, m_t - 1).astype(jnp.uint32)
+            c = st(c, "DIJ2", c["DIJ2"].at[t].set(
+                jnp.where(hp, 2 * cij, 0)))
+            c = st(c, "SDI2", c["SDI2"].at[t].set(
+                jnp.where(hp, sD2[i], 0)))
+            c = st(c, "SDJ2", c["SDJ2"].at[t].set(
+                jnp.where(hp, sD2[j], 0)))
+
+            active = idx < m_t
+            valid_k = active & (idx != i) & (idx != j) & hp
+            d_new_u = jnp.maximum(ci + cj - cij, 0)
+            sD2 = jnp.where(valid_k,
+                            sD2 - (2 * ci + 2 * cj - d_new_u), sD2)
+            sD2 = sD2.at[j].set(jnp.where(
+                hp, jnp.where(valid_k, d_new_u, 0)
+                .sum(dtype=jnp.int32), sD2[j]))
+            c = st(c, "sD2", sD2)
+            q_new = jnp.minimum((2 * d_new_u + 1) >> 2, 255) \
+                .astype(jnp.uint32)
+            rowj_bytes = jnp.where(valid_k, q_new,
+                                   cj.astype(jnp.uint32))
+            c = write_row(c, j, rowj_bytes, t)
+            c = ring_append(c, j, rowj_bytes, t)
+
+            Q, P = c["Q"], c["P"]
+            co_post = 2 * (m_t - 3)
+            cj_post = rowj_bytes.astype(jnp.int32)
+            qj = co_post * cj_post - sD2[j] - sD2
+            qj = jnp.where(idx < j, qj, big)
+            Qj, Pj = last_min(qj)
+            Q = Q.at[j].set(jnp.where(hp, Qj, Q[j]))
+            P = P.at[j].set(jnp.where(hp, jnp.where(Qj == big, 0, Pj),
+                                      P[j]))
+            colj = rowj_bytes.astype(jnp.int32)
+            qcol = co_post * colj - sD2[j] - sD2
+            colk = valid_k & (idx > j)
+            upd = colk & (qcol <= Q)
+            Q = jnp.where(upd, qcol, Q)
+            P = jnp.where(upd, j, P)
+            mq = jnp.where(upd, qcol, big).min()
+            mi_cand = jnp.where(
+                upd.any() & (mq <= Qj),
+                jnp.where(upd & (qcol == mq), idx, -1).max(), j) \
+                .astype(jnp.int32)
+
+            # popArrange: move row `last` into slot i
+            m_new = m_t - 1
+            g = hp & (i != last)
+            move_bytes = last_pre.at[j].set(
+                jnp.where(hp, q_new[m_t - 1], last_pre[j]))
+            old_i = ci.astype(jnp.uint32)
+            newrow_i = jnp.where(idx == i, jnp.uint32(0), move_bytes)
+            rowi_bytes = jnp.where(g, newrow_i, old_i)
+            # epoch t+1: ring entries of THIS join must not re-patch
+            # the moved row (they are indexed by the old identity)
+            c = write_row(c, i, rowi_bytes, t + 1)
+            c = ring_append(c, i, rowi_bytes, t)
+            # free the vacated slot
+            slot_last = c["slotof"][last]
+            sl_w = jnp.where(g, jnp.maximum(slot_last, 0), X)
+            c = st(c, "rowof", c["rowof"].at[sl_w].set(-1, mode="drop"))
+            c = st(c, "epoch", c["epoch"].at[sl_w].set(
+                jnp.int32(-(2 ** 31) + 1), mode="drop"))
+            c = st(c, "slotof", c["slotof"]
+                   .at[jnp.where(g, last, n)].set(-1, mode="drop"))
+
+            sD2 = sD2.at[i].set(jnp.where(g, sD2[last], sD2[i]))
+            c = st(c, "sD2", sD2)
+            ci_post = rowi_bytes.astype(jnp.int32)
+            qi = co_post * ci_post - sD2[i] - sD2
+            qi = jnp.where(idx < i, qi, big)
+            Qi, Pi = last_min(qi)
+            Q = Q.at[i].set(jnp.where(g, Qi, Q[i]))
+            P = P.at[i].set(jnp.where(g, jnp.where(Qi == big, 0, Pi),
+                                      P[i]))
+            coli = rowi_bytes.astype(jnp.int32)
+            qc = co_post * coli - sD2[i] - sD2
+            ck = (idx > i) & (idx < last) & g
+            u2 = ck & (qc <= Q)
+            Q = jnp.where(u2, qc, Q)
+            P = jnp.where(u2, i, P)
+            mq2 = jnp.where(u2, qc, big).min()
+            p2 = jnp.where(u2.any() & (mq2 <= Qi),
+                           jnp.where(u2 & (qc == mq2), idx, -1).max(),
+                           i).astype(jnp.int32)
+            mj_cand = jnp.where(g, p2, 0)
+            Q = Q.at[last].set(big)
+            c = st(c, "Q", Q)
+            c = st(c, "P", P)
+
+            seed_new = jnp.where(
+                mj_cand == m_new, mi_cand,
+                jnp.where(mi_cand == m_new, mj_cand,
+                          jnp.where((Q[mj_cand] < Q[mi_cand])
+                                    | ((mi_cand < mj_cand)
+                                       & (Q[mj_cand] == Q[mi_cand])),
+                                    mj_cand, mi_cand)))
+            c = st(c, "seed", jnp.where(hp, seed_new, 0))
+            c = st(c, "I", c["I"].at[t].set(jnp.where(hp, i, 0)))
+            c = st(c, "J", c["J"].at[t].set(jnp.where(hp, j, 0)))
+            c = st(c, "t", t + 1)
+            return c
+
+        def go(c):
+            c, minv, pi, pj, sok = do_scan(c)
+            # post-check: the scan must have completed (no gather miss)
+            # and its pick rows must be fetchable
+            ok_post = sok & fetchable(c, pi) & fetchable(c, pj)
+
+            def scan_abort(c):
+                # c["miss"] already carries the failing batch rows
+                # (written in bbody); add the pick rows if unfetchable
+                c = st(c, "miss", c["miss"].at[0].set(
+                    jnp.where(fetchable(c, pi), -1, pi)))
+                c = st(c, "miss", c["miss"].at[1].set(
+                    jnp.where(fetchable(c, pj), -1, pj)))
+                c = st(c, "ok", jnp.bool_(False))
+                c = st(c, "stats", c["stats"].at[2].add(1))
+                return c
+
+            return jax.lax.cond(
+                ok_post, lambda c: do_join(c, pi, pj), scan_abort, c)
+
+        return jax.lax.cond(
+            ok_pre, go,
+            lambda c: abort(c, missing, jnp.int32(-1), jnp.int32(-1)),
+            c)
+
+    return one_join
+
+
+_STATE_KEYS = ("cache", "slotof", "rowof", "epoch", "ring_vals",
+               "ring_col", "ring_t", "ring_index", "ring_next",
+               "ring_floor", "sD2", "Q", "P", "seed", "I", "J",
+               "DIJ2", "SDI2", "SDJ2", "stats", "t", "ok", "miss")
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "X", "F", "kbatch"),
+                   donate_argnums=tuple(range(23)))
+def _streamed_segment(cache, slotof, rowof, epoch, ring_vals, ring_col,
+                      ring_t, ring_index, ring_next, ring_floor, sD2,
+                      Q, P, seed, I, J, DIJ2, SDI2, SDJ2, stats, t, ok,
+                      miss, t1, m, n, X, F, kbatch):
+    W = cache.shape[1]
+    one_join = _mk_one_join_streamed(n, W, X, F, m, kbatch)
+    c0 = dict(zip(_STATE_KEYS, (cache, slotof, rowof, epoch, ring_vals,
+                                ring_col, ring_t, ring_index, ring_next,
+                                ring_floor, sD2, Q, P, seed, I, J, DIJ2,
+                                SDI2, SDJ2, stats, t,
+                                jnp.bool_(True), miss)))
+
+    def cond(c):
+        return (c["t"] < t1) & c["ok"]
+
+    c = jax.lax.while_loop(cond, one_join, c0)
+    return tuple(c[k] for k in _STATE_KEYS)
+
+
+@functools.partial(jax.jit, static_argnames=("X",),
+                   donate_argnums=(0, 1, 2, 3))
+def _apply_uploads(cache, slotof, rowof, epoch, up_words, up_slots,
+                   up_rows, t_now, X):
+    """Install uploaded rows: evict the slots' previous tenants, bind
+    the new rows, stamp the current epoch."""
+    n = slotof.shape[0]
+    old_rows = rowof[up_slots]
+    # drop-mode out-of-range targets for the no-op lanes: an in-range
+    # dummy index (e.g. 0) races nondeterministically with a genuine
+    # eviction of that row in the same scatter
+    slotof = slotof.at[jnp.where(old_rows >= 0, old_rows, n)].set(
+        -1, mode="drop")
+    valid = up_rows >= 0
+    sw = jnp.where(valid, up_slots, X)
+    cache = cache.at[sw].set(up_words, mode="drop")
+    rowof = rowof.at[sw].set(up_rows, mode="drop")
+    epoch = epoch.at[sw].set(t_now, mode="drop")
+    slotof = slotof.at[jnp.where(valid, up_rows, n)].set(
+        jnp.where(valid, up_slots, -1), mode="drop")
+    return cache, slotof, rowof, epoch
+
+
+# ---------------------------------------------------------------------
+# host side
+
+
+def _host_init(Dq: np.ndarray, m: int, chunk: int = 4096):
+    """sD2 / Q / P / seed in exact int32 u-units from the host matrix
+    (the numpy twin of packed_engine._packed_init)."""
+    n = Dq.shape[0]
+    big = np.int32(np.iinfo(np.int32).max)
+    idx = np.arange(n, dtype=np.int64)
+    act = idx < m
+    sD2 = np.zeros(n, np.int32)
+    for r0 in range(0, m, chunk):
+        r1 = min(r0 + chunk, m)
+        blk = Dq[r0:r1].astype(np.int32)
+        v = act[None, :] & (idx[r0:r1, None] != idx[None, :])
+        sD2[r0:r1] = 2 * np.where(v, blk, 0).sum(axis=1,
+                                                 dtype=np.int32)
+    Q = np.full(n, big, np.int32)
+    P = np.zeros(n, np.int32)
+    co0 = 2 * (m - 2)
+    for r0 in range(0, m, chunk):
+        r1 = min(r0 + chunk, m)
+        blk = Dq[r0:r1].astype(np.int32)
+        rows = idx[r0:r1]
+        lv = act[None, :] & (idx[None, :] < rows[:, None])
+        Qm = np.where(lv, co0 * blk - sD2[r0:r1, None] - sD2[None, :],
+                      big)
+        Qc = Qm.min(axis=1)
+        cand = lv & (Qm == Qc[:, None])
+        dmask = np.where(cand, blk, big)
+        prefmin = np.minimum.accumulate(dmask, axis=1)
+        sel = cand & (dmask == prefmin)
+        Pc = np.where(sel, idx[None, :], -1).max(axis=1)
+        Q[r0:r1] = Qc
+        P[r0:r1] = np.maximum(Pc, 0)
+    qrows = np.where((idx >= 1) & act, Q, big)
+    mn0 = qrows.min()
+    seed0 = int(np.where(qrows == mn0, idx, -1).max()) if m > 1 else 0
+    return sD2, Q, P, max(seed0, 0)
+
+
+class StreamedDNJ:
+    """Host driver for the beyond-HBM packed DNJ.
+
+    Parameters
+    ----------
+    Dq : (npad, npad) uint8 host matrix (ndarray or np.memmap), padded
+         with zero rows/cols beyond `m` (use `_pad512`).
+    m  : active taxa.
+    X  : cache rows (device HBM budget ~ X * npad bytes).
+    F  : column-patch ring entries (device ~ F * npad bytes).
+    """
+
+    def __init__(self, Dq: np.ndarray, m: int, X: int = 4096,
+                 F: int = 512, kbatch: int = 128,
+                 prefetch: int = 1024, horizon: int = 2048,
+                 verbose: bool = False):
+        n = Dq.shape[0]
+        assert Dq.shape == (n, n) and Dq.dtype == np.uint8
+        assert n % 512 == 0 and X % 8 == 0 and X <= n
+        self.Dq = Dq
+        self.n, self.m = n, int(m)
+        self.X, self.F = X, F
+        self.kbatch = kbatch
+        # optional (non-protected) residency headroom, clamped so the
+        # policy rows can never crowd out the required working set
+        self.prefetch = min(prefetch, X // 4)
+        self.horizon = min(horizon, X // 2)
+        self.verbose = verbose
+        self.W = n // 4
+        self.uploaded_rows = 0
+        self.aborts = 0
+        self.replayed_to = 0
+
+    # -- residency ----------------------------------------------------
+    def _needed_rows(self, state, t_now):
+        """The rows the next join can touch, computed host-side from
+        the device caches: the scan candidate set {r: Q[r] < Q[seed]},
+        the seed pair, and the popArrange horizon.  Everything here is
+        protected from eviction; anything unfetchable is uploaded."""
+        n, m = self.n, self.m
+        Q_h = np.asarray(state[11])
+        P_h = np.asarray(state[12])
+        seed = int(np.asarray(state[13]))
+        big = np.int32(np.iinfo(np.int32).max)
+        m_t = m - t_now
+        idx = np.arange(n)
+        seed_ok = (seed != 0) and (Q_h[seed] != big)
+        minv0 = Q_h[seed] if seed_ok else big
+        rows = [m_t - 1]  # popArrange source
+        if seed_ok:
+            rows += [seed, int(P_h[seed])]
+        # the scan gathers candidates in DESCENDING INDEX order
+        # (topk_mask_indices), so the rows it will visit first are the
+        # highest-index candidates — protect/prefetch that prefix, not
+        # the lowest-Q rows (protecting the wrong axis ping-pongs the
+        # uploads against the scan's own gathers)
+        cand = np.nonzero((idx >= 1) & (idx < m_t)
+                          & (Q_h < minv0))[0]
+        cap = max(min(max(self.prefetch, 2 * self.kbatch),
+                      self.X - self.X // 4) - len(rows), 0)
+        rows.extend(int(r) for r in cand[::-1][:cap])
+        return rows
+
+    def _upload(self, state, rows_needed, t_now, protect=None):
+        """Host->device: install `rows_needed` (list of global rows)
+        into cache slots, evicting highest-Q residents outside
+        `protect` (default: outside `rows_needed`).  Rows that cannot
+        be installed once every evictable slot is gone are dropped —
+        callers order `rows_needed` required-first."""
+        (cache, slotof, rowof, epoch, *rest) = state
+        rowof_h = np.asarray(rowof)
+        slotof_h = np.asarray(slotof)
+        Q_h = np.asarray(state[11])
+        rows_needed = list(dict.fromkeys(rows_needed))
+        want = [r for r in rows_needed
+                if r < self.m and slotof_h[r] < 0]
+        # also refresh stale residents among the needed rows
+        epoch_h = np.asarray(epoch)
+        floor_h = int(np.asarray(state[9]))
+        stale = [r for r in rows_needed
+                 if r < self.m and slotof_h[r] >= 0
+                 and epoch_h[slotof_h[r]] <= floor_h]
+        U = len(want) + len(stale)
+        if U == 0:
+            return state, 0
+        # slots: stale rows keep their slot; new rows take free slots,
+        # then evict the highest-Q resident rows
+        slots = [int(slotof_h[r]) for r in stale]
+        free = np.nonzero(rowof_h < 0)[0]
+        fi = 0
+        # eviction must spare every row touched by this upload (a
+        # stale row reuses ITS OWN slot — evicting that slot for
+        # another row double-assigns it) plus the caller's protect set
+        needed_set = set(rows_needed) | set(protect or ())
+        evict_order = None
+        rows = list(stale)
+        for r in want:
+            if fi < len(free):
+                slots.append(int(free[fi]))
+                fi += 1
+            else:
+                if evict_order is None:
+                    res_rows = rowof_h[rowof_h >= 0]
+                    keep = np.array([rr for rr in res_rows
+                                     if rr not in needed_set],
+                                    dtype=np.int64)
+                    evict_order = keep[np.argsort(Q_h[keep])].tolist()
+                if not evict_order:
+                    break  # cache full of needed rows; install what fits
+                slots.append(int(slotof_h[evict_order.pop()]))
+            rows.append(r)
+        U = len(rows)
+        if U == 0:
+            return state, 0
+        up = np.zeros((U, self.W), np.uint32)
+        for k, r in enumerate(rows):
+            up[k] = self.Dq[r].view(np.uint32)
+        cache, slotof, rowof, epoch = _apply_uploads(
+            cache, slotof, rowof, epoch, jnp.asarray(up),
+            jnp.asarray(np.array(slots, np.int32)),
+            jnp.asarray(np.array(rows, np.int32)),
+            jnp.int32(t_now), X=self.X)
+        self.uploaded_rows += U
+        return (cache, slotof, rowof, epoch, *rest), U
+
+    def _policy_rows(self, state, t_now):
+        """Bottom-Q active rows + the popArrange horizon."""
+        Q_h = np.asarray(state[11])
+        m_t = self.m - t_now
+        act = np.arange(1, m_t)
+        order = act[np.argsort(Q_h[1:m_t], kind="stable")]
+        rows = list(order[:self.prefetch])
+        h0 = max(m_t - self.horizon, 0)
+        rows.extend(range(h0, m_t))
+        return rows
+
+    def run(self):
+        n, m, X, F, W = self.n, self.m, self.X, self.F, self.W
+        t0 = _time.perf_counter()
+        sD2, Q, P, seed = _host_init(self.Dq, m)
+        if self.verbose:
+            print(f"host init {_time.perf_counter() - t0:.1f}s",
+                  flush=True)
+        NEG = np.int32(-(2 ** 31) + 1)
+        state = (
+            jnp.zeros((X, W), jnp.uint32),                  # cache
+            jnp.full(n, -1, jnp.int32),                     # slotof
+            jnp.full(X, -1, jnp.int32),                     # rowof
+            jnp.full(X, NEG, jnp.int32),                    # epoch
+            jnp.zeros((F, W), jnp.uint32),                  # ring_vals
+            jnp.full(F, -1, jnp.int32),                     # ring_col
+            jnp.full(F, -1, jnp.int32),                     # ring_t
+            jnp.full(n, -1, jnp.int32),                     # ring_index
+            jnp.int32(0),                                   # ring_next
+            jnp.int32(-1),                                  # ring_floor
+            jnp.asarray(sD2), jnp.asarray(Q), jnp.asarray(P),
+            jnp.int32(seed),
+            jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
+            jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
+            jnp.zeros(n, jnp.int32),
+            jnp.zeros(8, jnp.int32),                        # stats
+            jnp.int32(0), jnp.bool_(True),                  # t, ok
+            jnp.full(MMAX, -1, jnp.int32),                  # miss
+        )
+        req0 = self._needed_rows(state, 0)
+        state, _ = self._upload(
+            state, req0 + self._policy_rows(state, 0), 0,
+            protect=req0)
+
+        total = max(m - 2, 0)
+        mj = jnp.int32(m)
+
+        def seg_call(state, s0, s1):
+            out = _streamed_segment(*state, jnp.int32(s1), mj, n=n,
+                                    X=X, F=F, kbatch=self.kbatch)
+            return out
+
+        done = 0
+        seg = int(os.environ.get("CCPHYLO_TPU_SEG", "512") or 512)
+        target_s = float(os.environ.get("CCPHYLO_TPU_SEG_TARGET_S",
+                                        "4.0") or 4.0)
+        while done < total:
+            k = min(seg, total - done)
+            tseg = _time.perf_counter()
+            state = seg_call(state, done, done + k)
+            t_now = int(np.asarray(state[20]))
+            ok = bool(np.asarray(state[21]))
+            dt = _time.perf_counter() - tseg
+            # host replay of the newly completed joins
+            if t_now > self.replayed_to:
+                I_h = np.asarray(state[14][self.replayed_to:t_now])
+                J_h = np.asarray(state[15][self.replayed_to:t_now])
+                _host_replay_shift(self.Dq, I_h, J_h,
+                                   self.replayed_to, t_now, m)
+                self.replayed_to = t_now
+            prog = t_now - done
+            done = t_now
+            if not ok:
+                self.aborts += 1
+                if prog == 0:
+                    self._zero_streak = getattr(self, "_zero_streak",
+                                                0) + 1
+                    if self._zero_streak > 4:
+                        raise RuntimeError(
+                            "streamed DNJ livelock: candidate set "
+                            f"exceeds the cache (X={self.X}); rerun "
+                            "with a larger X")
+                else:
+                    self._zero_streak = 0
+                miss = np.asarray(state[22])
+                rows = [int(r) for r in miss if r >= 0]
+                state = state[:21] + (jnp.bool_(True), state[22])
+                req = rows + self._needed_rows(state, done)
+                state, u = self._upload(
+                    state, req + self._policy_rows(state, done), done,
+                    protect=req)
+                if self.verbose:
+                    print(f"  abort@{done}: {len(rows)} missing, "
+                          f"uploaded {u}", flush=True)
+            if prog > 0 and done < total:
+                seg = int(max(64, min(131072,
+                                      seg * target_s / max(dt, 1e-3))))
+            if self.verbose and prog:
+                print(f"  seg {done}/{total} ({prog} joins, "
+                      f"{dt:.1f}s, {prog / max(dt, 1e-9):,.0f}/s)",
+                      flush=True)
+        I = np.asarray(state[14])
+        J = np.asarray(state[15])
+        DIJ2 = np.asarray(state[16])
+        SDI2 = np.asarray(state[17])
+        SDJ2 = np.asarray(state[18])
+        self.stats = np.asarray(state[19])
+        d_last2 = 2 * int(self.Dq[1, 0])
+        return I, J, DIJ2, SDI2, SDJ2, d_last2
+
+
+def _host_replay_shift(Dq, I_h, J_h, off, t1, m):
+    """Replay records I_h/J_h (joins off..t1) with correct m_t."""
+    n = Dq.shape[0]
+    idx = np.arange(n)
+    for k in range(t1 - off):
+        t = off + k
+        i, j = int(I_h[k]), int(J_h[k])
+        if i == 0 and j == 0:
+            continue
+        m_t = m - t
+        ci = Dq[i].astype(np.int32)
+        cj = Dq[j].astype(np.int32)
+        cij = int(ci[j])
+        active = idx < m_t
+        valid_k = active & (idx != i) & (idx != j)
+        d_new = np.maximum(ci + cj - cij, 0)
+        q_new = np.minimum((2 * d_new + 1) >> 2, 255).astype(np.uint8)
+        rowj = np.where(valid_k, q_new, Dq[j])
+        Dq[j, :] = rowj
+        Dq[:, j] = rowj
+        last = m_t - 1
+        if i != last:
+            moved = Dq[last].copy()
+            moved[i] = 0
+            Dq[i, :] = moved
+            Dq[:, i] = moved
+    return Dq
+
+
+def dnj_joins_streamed(Dq: np.ndarray, m: int, X: int = 4096,
+                       F: int = 512, kbatch: int = 128,
+                       verbose: bool = False, **kw):
+    """Run all m-2 joins with the host-streamed engine; returns
+    (I, J, DIJ2, SDI2, SDJ2, d_last2) — the same exact-int32 records as
+    packed_engine.dnj_joins_packed (bit-identical by construction)."""
+    eng = StreamedDNJ(Dq, m, X=X, F=F, kbatch=kbatch, verbose=verbose,
+                      **kw)
+    out = eng.run()
+    dnj_joins_streamed.last = eng
+    return out
