@@ -79,6 +79,56 @@ def run_packed(n, mod, kbatch):
     return rec, LI, LJ, int(np.asarray(dl2))
 
 
+def run_streamed(n, mod, kbatch, X, F, mmap_path=None):
+    """Beyond-HBM engine: canonical matrix host-side (RAM or disk
+    memmap), chip holds the X-row cache + F-entry patch ring."""
+    import resource
+    from ccphylo_tpu.tree.packed_engine import limbs_host
+    from ccphylo_tpu.tree.streamed_engine import (_pad512,
+                                                  dnj_joins_streamed)
+    from benchmarks.synth import cell_hash_np
+    npad = _pad512(n)
+    t0 = time.perf_counter()
+    if mmap_path:
+        Dq = np.memmap(mmap_path, np.uint8, "w+", shape=(npad, npad))
+    else:
+        Dq = np.empty((npad, npad), np.uint8)
+    ch = 4096
+    cols = np.arange(npad, dtype=np.uint32)
+    for r0 in range(0, npad, ch):
+        r1 = min(r0 + ch, npad)
+        rows = np.arange(r0, r1, dtype=np.uint32)
+        blk = cell_hash_np(rows[:, None], cols[None, :], mod)
+        if r1 > n:
+            blk[max(n - r0, 0):, :] = 0
+        blk[:, n:] = 0
+        Dq[r0:r1] = blk
+    t1 = time.perf_counter()
+    print(f"gen {t1 - t0:.1f}s ({Dq.nbytes / 1e9:.1f} GB host"
+          f"{' memmap' if mmap_path else ''})", flush=True)
+    I, J, DIJ2, SDI2, SDJ2, dl2 = dnj_joins_streamed(
+        Dq, n, X=X, F=F, kbatch=kbatch, verbose=True)
+    t2 = time.perf_counter()
+    eng = dnj_joins_streamed.last
+    k = n - 2
+    rec = (np.asarray(I)[:k], np.asarray(J)[:k],
+           np.asarray(DIJ2)[:k], np.asarray(SDI2)[:k],
+           np.asarray(SDJ2)[:k])
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    hbm = (X + F) * npad / 1e9
+    print(f"streamed joins {t2 - t1:.1f}s "
+          f"({k / max(t2 - t1, 1e-9):,.0f} joins/s)  "
+          f"records sha {digest(*rec)}\n"
+          f"aborts {eng.aborts}  uploaded rows {eng.uploaded_rows} "
+          f"({eng.uploaded_rows * npad / 1e9:.2f} GB)  "
+          f"scan passes/join {eng.stats[0] / max(k, 1):.2f}\n"
+          f"matrix {Dq.nbytes / 1e9:.1f} GB host-side; "
+          f"device cache+ring {hbm:.1f} GB; peak RSS {rss:.1f} GB",
+          flush=True)
+    LI, LJ = limbs_host(I, J, DIJ2, SDI2, SDJ2, n, 1.0)
+    return rec, LI, LJ, int(dl2)
+
+
 def newick_from(n, rec, LI, LJ, dl2):
     from ccphylo_tpu.io.qseqs import Name
     from ccphylo_tpu.tree.jax_engine import _records_to_newick
@@ -183,6 +233,16 @@ def main():
     ap.add_argument("--c", default=None, help="reference binary path")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--kbatch", type=int, default=128)
+    ap.add_argument("--engine", choices=["packed", "streamed"],
+                    default="packed")
+    ap.add_argument("--X", type=int, default=49152,
+                    help="streamed: cache rows in HBM")
+    ap.add_argument("--F", type=int, default=2048,
+                    help="streamed: column-patch ring entries")
+    ap.add_argument("--mmap", default=None,
+                    help="streamed: back the host matrix with a disk "
+                         "memmap at this path (the matrix.c mmap "
+                         "analog) instead of RAM")
     ap.add_argument("--vs-batch", action="store_true")
     ap.add_argument("--newick-out", default=None)
     ap.add_argument("--c-nwck", default=None,
@@ -220,7 +280,13 @@ def main():
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
-    rec, LI, LJ, dl2 = run_packed(args.n, args.mod, args.kbatch)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    if args.engine == "streamed":
+        rec, LI, LJ, dl2 = run_streamed(args.n, args.mod, args.kbatch,
+                                        args.X, args.F, args.mmap)
+    else:
+        rec, LI, LJ, dl2 = run_packed(args.n, args.mod, args.kbatch)
     if args.records_out:
         np.savez(args.records_out, I=rec[0], J=rec[1], DIJ2=rec[2],
                  SDI2=rec[3], SDJ2=rec[4])
