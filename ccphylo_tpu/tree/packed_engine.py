@@ -85,12 +85,29 @@ def _pack_bytes(v):
             | (r[..., 3] << jnp.uint32(24)))
 
 
+def _scan_impl() -> str:
+    """Batch-scan row-min implementation: 'pallas' fuses the gather +
+    unpack + Q + reductions into a scalar-prefetch streaming kernel
+    (ops/scan_pallas.py; the scan is 75% of device join time at 32k,
+    and XLA's gather formulation runs ~7x under the roofline);
+    'jnp' is the plain XLA formulation.  'auto' = pallas on TPU."""
+    import os
+    v = os.environ.get("CCPHYLO_TPU_SCAN", "auto")
+    if v == "auto":
+        try:
+            return "pallas" if jax.default_backend() == "tpu" else "jnp"
+        except Exception:  # noqa: BLE001
+            return "jnp"
+    return v
+
+
 def _mk_one_join_packed(n, W, m, kbatch):
     """one_join body over the single u32-packed buffer; m is a traced
     scalar closed over.  All arithmetic int32 in u = 1/(2*ByteScale)
     units; cells read as c (quantized byte), Q as 2*(m_t-2)*c - 2sD_i -
     2sD_k."""
     big = jnp.int32(IBIG)
+    scan_impl = _scan_impl()
     # materialized constant, NOT an iota: the iota form lands the
     # XLA:TPU buffer assigner on the wrong side of a heuristic that
     # copies the whole words buffer into the scan-while state
@@ -138,13 +155,18 @@ def _mk_one_join_packed(n, W, m, kbatch):
             rows = topk_mask_indices(cm, idx, kbatch)
             valid = rows >= 1
             r = jnp.where(valid, rows, 0)
-            Crows = cells_of(words[r])                      # (K, n)
-            q = co * Crows - sD2[r][:, None] - sD2[None, :]
-            ok = idx[None, :] < r[:, None]
-            q = jnp.where(ok, q, big)
-            rmin = q.min(axis=1)
-            rarg = jnp.where(q == rmin[:, None], idx[None, :], -1) \
-                .max(axis=1).astype(jnp.int32)
+            if scan_impl == "pallas":
+                from ..ops.scan_pallas import qrow_mins, sd2_to_planes
+                rmin, rarg = qrow_mins(r, co, words,
+                                       sd2_to_planes(sD2, W))
+            else:
+                Crows = cells_of(words[r])                  # (K, n)
+                q = co * Crows - sD2[r][:, None] - sD2[None, :]
+                ok = idx[None, :] < r[:, None]
+                q = jnp.where(ok, q, big)
+                rmin = q.min(axis=1)
+                rarg = jnp.where(q == rmin[:, None], idx[None, :], -1) \
+                    .max(axis=1).astype(jnp.int32)
             # C-exact cache gating (see jax_engine.dnj_joins batch_scan)
             rminv = jnp.where(valid, rmin, big)
             rm = jax.lax.cummin(
