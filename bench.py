@@ -104,7 +104,7 @@ def measure_c_baseline(n, w64):
                                  check=True)
             dt = float(out.stdout.split()[0])
             pairs = n * (n - 1) // 2
-            return pairs / dt
+            return pairs / dt, threads
     except Exception as exc:  # noqa: BLE001
         print(f"# baseline unavailable: {exc}", file=sys.stderr)
         return None
@@ -140,15 +140,17 @@ def main():
     pairs = N_SAMPLES * (N_SAMPLES - 1) // 2
     ours = pairs / best
 
-    base = measure_c_baseline(min(N_SAMPLES, 256), L_BASES // 32)
+    res = measure_c_baseline(min(N_SAMPLES, 256), L_BASES // 32)
     # C throughput is ~constant per pair at fixed L; measuring fewer
     # samples keeps the bench fast without changing the rate
+    base, cthreads = res if res else (None, 0)
     vs = (ours / base) if base else 0.0
     print(json.dumps({
         "metric": "snp_pairwise_distances_per_s_per_chip",
         "value": round(ours, 1),
         "unit": f"sample-pairs/s (n={N_SAMPLES}, L={L_BASES}, "
-                f"backend={jax.default_backend()})",
+                f"backend={jax.default_backend()}); baseline = "
+                f"{cthreads}-thread C hw-popcount harness on this box",
         "vs_baseline": round(vs, 2),
     }))
 

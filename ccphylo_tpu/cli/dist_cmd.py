@@ -802,8 +802,14 @@ def _batch_shared(seqs, idxs, shared_inc):
         from ..ops import snp_jax, snp_pallas
         s32 = np.stack([snp_jax.u64_to_u32(seqs[i]) for i in idxs])
         pm = snp_jax.inc32_to_pairmask(shared_inc)
-        mod = snp_pallas if snp_pallas.available() else snp_jax
-        return np.asarray(mod.snp_matrix(s32, pm))
+        if snp_pallas.available():
+            try:
+                return np.asarray(snp_pallas.snp_matrix(s32, pm))
+            except Exception as e:  # noqa: BLE001 — Mosaic lowering
+                print("# ccphylo_tpu: pallas SNP kernel failed "
+                      "(%s); falling back to XLA kernel"
+                      % type(e).__name__, file=sys.stderr)
+        return np.asarray(snp_jax.snp_matrix(s32, pm))
     return snp.pairwise_shared(S, shared_inc)
 
 
@@ -816,8 +822,15 @@ def _batch_pairwise(seqs, includes, idxs):
         s32 = np.stack([snp_jax.u64_to_u32(seqs[i]) for i in idxs])
         masks = np.stack([snp_jax.inc32_to_pairmask(includes[i])
                           for i in idxs])
-        mod = snp_pallas if snp_pallas.available() else snp_jax
-        Dm, Nm = mod.snp_matrix_pairwise(s32, masks)
+        if snp_pallas.available():
+            try:
+                Dm, Nm = snp_pallas.snp_matrix_pairwise(s32, masks)
+                return np.asarray(Dm), np.asarray(Nm)
+            except Exception as e:  # noqa: BLE001 — Mosaic lowering
+                print("# ccphylo_tpu: pallas SNP kernel failed "
+                      "(%s); falling back to XLA kernel"
+                      % type(e).__name__, file=sys.stderr)
+        Dm, Nm = snp_jax.snp_matrix_pairwise(s32, masks)
         return np.asarray(Dm), np.asarray(Nm)
     S = np.stack([seqs[i] for i in idxs])
     I = np.stack([includes[i] for i in idxs])

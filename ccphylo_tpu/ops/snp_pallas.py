@@ -48,18 +48,22 @@ def _signed_planes(w, inc, k):
     For two coded positions x, y: code(x)·code(y) = 4*[x == y] - 1, so
     a Gram dot G over the 3-plane layout gives matches = (G + npos)/4 —
     0.75x the MACs and expansion bytes of the 4-plane one-hot
-    (VERDICT r3 item 9's proposed reformulation)."""
+    (VERDICT r3 item 9's proposed reformulation).
+
+    Purely arithmetic (no boolean-vector selects): the round-4
+    jnp.where formulation produced vector<i1> masks whose relayout
+    Mosaic cannot compile ("Invalid relayout ... vector<128x512xi1>",
+    BENCH_r04).  s*g and (s*g)*(s*g) = s1*s0*g give the zeroing for
+    free since g is 0/1."""
     sh = jnp.uint32(30 - 2 * k)
-    b = (w >> sh) & jnp.uint32(3)
-    g = ((inc >> sh) & jnp.uint32(1)) == 1
-    b1 = (b >> 1) & jnp.uint32(1)
-    b0 = b & jnp.uint32(1)
-    one = jnp.int8(1)
-    s1 = jnp.where(b1 == 0, one, jnp.int8(-1))
-    s0 = jnp.where(b0 == 0, one, jnp.int8(-1))
-    z = jnp.int8(0)
-    return (jnp.where(g, s1, z), jnp.where(g, s0, z),
-            jnp.where(g, s1 * s0, z))
+    b = ((w >> sh) & jnp.uint32(3)).astype(jnp.int32)
+    g = ((inc >> sh) & jnp.uint32(1)).astype(jnp.int32)
+    b1 = (b >> 1) & 1
+    b0 = b & 1
+    p1 = (1 - 2 * b1) * g
+    p0 = (1 - 2 * b0) * g
+    return (p1.astype(jnp.int8), p0.astype(jnp.int8),
+            (p1 * p0).astype(jnp.int8))
 
 
 def _expand_kernel_shared(seq_ref, pm_ref, x_ref):

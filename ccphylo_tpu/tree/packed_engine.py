@@ -94,20 +94,23 @@ def _scan_impl() -> str:
     import os
     v = os.environ.get("CCPHYLO_TPU_SCAN", "auto")
     if v == "auto":
-        try:
-            return "pallas" if jax.default_backend() == "tpu" else "jnp"
-        except Exception:  # noqa: BLE001
-            return "jnp"
+        # 'jnp' on every backend: the round-4 scan_pallas kernel fails
+        # Pallas TPU lowering ((1, W) BlockSpec violates the 8x128
+        # tiling rule) — every measured packed-engine number was on
+        # the jnp path.  Set CCPHYLO_TPU_SCAN=pallas only after
+        # benchmarks/tpu_smoke.py proves the kernel on the chip.
+        return "jnp"
     return v
 
 
-def _mk_one_join_packed(n, W, m, kbatch):
+def _mk_one_join_packed(n, W, m, kbatch, scan_impl=None):
     """one_join body over the single u32-packed buffer; m is a traced
     scalar closed over.  All arithmetic int32 in u = 1/(2*ByteScale)
     units; cells read as c (quantized byte), Q as 2*(m_t-2)*c - 2sD_i -
     2sD_k."""
     big = jnp.int32(IBIG)
-    scan_impl = _scan_impl()
+    if scan_impl is None:
+        scan_impl = _scan_impl()
     # materialized constant, NOT an iota: the iota form lands the
     # XLA:TPU buffer assigner on the wrong side of a heuristic that
     # copies the whole words buffer into the scan-while state
@@ -156,9 +159,8 @@ def _mk_one_join_packed(n, W, m, kbatch):
             valid = rows >= 1
             r = jnp.where(valid, rows, 0)
             if scan_impl == "pallas":
-                from ..ops.scan_pallas import qrow_mins, sd2_to_planes
-                rmin, rarg = qrow_mins(r, co, words,
-                                       sd2_to_planes(sD2, W))
+                from ..ops.scan_pallas import qrow_mins
+                rmin, rarg = qrow_mins(r, co, words, sD2)
             else:
                 Crows = cells_of(words[r])                  # (K, n)
                 q = co * Crows - sD2[r][:, None] - sD2[None, :]
@@ -427,12 +429,12 @@ def _packed_init(words, m):
     return sD2, Q, P, seed0
 
 
-@functools.partial(jax.jit, static_argnames=("kbatch",),
+@functools.partial(jax.jit, static_argnames=("kbatch", "scan_impl"),
                    donate_argnums=tuple(range(11)))
 def _packed_segment(words, sD2, Q, P, seed, I, J, DIJ2, SDI2, SDJ2,
-                    stats, t0, t1, m, kbatch=128):
+                    stats, t0, t1, m, kbatch=128, scan_impl="jnp"):
     n, W = words.shape
-    one_join = _mk_one_join_packed(n, W, m, kbatch)
+    one_join = _mk_one_join_packed(n, W, m, kbatch, scan_impl)
     return jax.lax.fori_loop(
         t0, t1, one_join,
         (words, sD2, Q, P, seed, I, J, DIJ2, SDI2, SDJ2, stats))
@@ -517,9 +519,11 @@ def dnj_joins_packed(words, m, kbatch: int = 128, hooks=None):
                  jnp.zeros(n, jnp.int32), jnp.zeros(4, jnp.int32))
         start = 0
 
+    scan_impl = _scan_impl()
+
     def seg_call(state, t0, t1):
         return _packed_segment(*state, jnp.int32(t0), jnp.int32(t1),
-                               mj, kbatch=kbatch)
+                               mj, kbatch=kbatch, scan_impl=scan_impl)
 
     last_ckpt = [_t.perf_counter()]
 

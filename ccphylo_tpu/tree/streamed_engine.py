@@ -523,6 +523,11 @@ class StreamedDNJ:
         n = Dq.shape[0]
         assert Dq.shape == (n, n) and Dq.dtype == np.uint8
         assert n % 512 == 0 and X % 8 == 0 and X <= n
+        # a scan-batch gather miss reports at most MMAX-2 rows; a
+        # larger kbatch would silently skip the miss write and the
+        # host refresh would loop on a stale list until the livelock
+        # guard fires (ADVICE r4)
+        assert kbatch <= MMAX - 2, (kbatch, MMAX)
         self.Dq = Dq
         self.n, self.m = n, int(m)
         self.X, self.F = X, F
