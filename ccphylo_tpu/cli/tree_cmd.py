@@ -73,8 +73,8 @@ def main_tree(argv: list[str]) -> int:
     flag = 0
     dtype = "d"
     bytescale = 1.0  # ByteScale default (bytescale.c:22)
-    # threads accepted for CLI parity; the exact engine is deterministic
-    # and thread-count independent (as is the reference's output)
+    threads = 1  # -t parallelizes the host dnj batch scan; output is
+    #              thread-count independent (as is the reference's)
 
     use_mmap = False
     tmpdir = None
@@ -106,7 +106,7 @@ def main_tree(argv: list[str]) -> int:
             elif name == "flag_help":
                 flag = -1
             elif name == "threads":
-                a.next_num("threads")
+                threads = a.next_num("threads")
             elif name == "float_precision":
                 dtype = "f"
             elif name == "short_precision":
@@ -147,7 +147,7 @@ def main_tree(argv: list[str]) -> int:
                 elif opt == "F":
                     flag = -1
                 elif opt == "t":
-                    a.next_num("t")
+                    threads = a.next_num("t")
                 elif opt == "p":
                     dtype = "f"
                 elif opt == "s":
@@ -187,11 +187,11 @@ def main_tree(argv: list[str]) -> int:
         LtdMatrix.mmap_dir = tmpdir or tempfile.gettempdir()
 
     return form_tree(inputfile, outputfile, flag, sep, quotes, method,
-                     precision, dtype, bytescale)
+                     precision, dtype, bytescale, threads)
 
 
 def _dispatch_build(flat, n, names, method, flag, precision, dtype,
-                    bytescale):
+                    bytescale, threads=1):
     """Choose the join engine.
 
     Default: the host exact engine (byte parity with the reference for
@@ -219,7 +219,7 @@ def _dispatch_build(flat, n, names, method, flag, precision, dtype,
             # the sharded nj/upgma engine assumes complete matrices
             # (no D >= 0 masking); missing cells go to the host engine
             return build_tree(flat, n, names, method, flag, precision,
-                              dtype, bytescale)
+                              dtype, bytescale, threads)
         from ..parallel.sharded_nj import build_tree_sharded
         D = _np.zeros((n, n), _np.float64)
         iu = _np.tril_indices(n, -1)
@@ -238,7 +238,7 @@ def _dispatch_build(flat, n, names, method, flag, precision, dtype,
         import numpy as _np
         if (_np.asarray(flat) < 0).any():
             return build_tree(flat, n, names, method, flag, precision,
-                              dtype, bytescale)
+                              dtype, bytescale, threads)
         from ..utils.jaxconfig import configure_jax
         configure_jax()
         from ..tree.packed_engine import build_tree_jax_packed
@@ -267,7 +267,7 @@ def _dispatch_build(flat, n, names, method, flag, precision, dtype,
                     "engine is not byte-parity on float data; using "
                     "the host engine.\n")
                 return build_tree(flat, n, names, method, flag,
-                                  precision, dtype, bytescale)
+                                  precision, dtype, bytescale, threads)
         from ..utils.jaxconfig import configure_jax
         jax = configure_jax()
         import jax.numpy as jnp
@@ -290,7 +290,7 @@ def _dispatch_build(flat, n, names, method, flag, precision, dtype,
             import numpy as _np
             if (_np.asarray(flat) < 0).any():
                 return build_tree(flat, n, names, method, flag,
-                                  precision, dtype, bytescale)
+                                  precision, dtype, bytescale, threads)
             from ..tree.jax_engine import build_tree_jax_q
             return build_tree_jax_q(
                 flat, n, names, flag, precision, bytescale=bytescale,
@@ -299,7 +299,7 @@ def _dispatch_build(flat, n, names, method, flag, precision, dtype,
                 else jnp.float32)
         if dtype != "d":
             return build_tree(flat, n, names, method, flag, precision,
-                              dtype, bytescale)
+                              dtype, bytescale, threads)
         from ..tree.jax_engine import build_tree_jax
         # the batch scan is trajectory-exact (ties included) since the
         # prefix-min cache gating; f64 state makes it bit-exact vs the
@@ -308,11 +308,11 @@ def _dispatch_build(flat, n, names, method, flag, precision, dtype,
         return build_tree_jax(flat, n, names, flag, precision, dtype=jdt,
                               scan="batch")
     return build_tree(flat, n, names, method, flag, precision, dtype,
-                      bytescale)
+                      bytescale, threads)
 
 
 def form_tree(inputfile, outputfile, flag, sep, quotes, method, precision,
-              dtype, bytescale) -> int:
+              dtype, bytescale, threads=1) -> int:
     """formTree (tree.c:37-120)."""
     data = fileio.read_bytes(inputfile)
     stream = PhylipStream(data, sep=sep.encode(), quotes=quotes.encode())
@@ -334,7 +334,8 @@ def form_tree(inputfile, outputfile, flag, sep, quotes, method, precision,
             from ..utils import timing
             with timing.phase("tree/joins", items=max(n - 2, 0)):
                 tree = _dispatch_build(flat, n, names, method, flag,
-                                       precision, dtype, bytescale)
+                                       precision, dtype, bytescale,
+                                       threads)
         elif n == 2:
             root = names[0]
             form_last_bi_node(root, names[1], float(flat[0]), precision)

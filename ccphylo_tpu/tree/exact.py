@@ -149,6 +149,9 @@ class TreeState:
         self.N = np.ones(n, np.int64)
         self.Q = np.full(n, DBL_MAX, np.float64)
         self.P = np.zeros(n, np.int64)
+        # worker threads for the batched Q scan (`tree -t`, dnj.c:505-
+        # 605); results are trajectory-identical at any count
+        self.threads = 1
 
     @property
     def n(self):
@@ -302,6 +305,43 @@ def min_q_pair_seq(st: TreeState, seed: int):
 
 _QPAIR_KB = 128
 
+_POOLS: dict = {}
+
+
+def _scan_pool(t: int):
+    """Persistent thread pool for the batched Q scan (numpy releases
+    the GIL in the gather/arithmetic, so 2 workers ~halve the pass on
+    this 2-CPU box).  Keyed by size; never shut down (daemon threads)."""
+    import concurrent.futures as cf
+    p = _POOLS.get(t)
+    if p is None:
+        p = cf.ThreadPoolExecutor(max_workers=t)
+        _POOLS[t] = p
+    return p
+
+
+def _qpair_rows(st: TreeState, rows: np.ndarray, nflat: int):
+    """One batched row-recompute pass over `rows` (descending): the
+    reference's minQrow per row, vectorized.  Read-only on st — safe
+    to run chunks concurrently.  Returns (rminv with DBL_MAX for
+    empty rows, last-wins rarg with -1 for empty rows)."""
+    K = rows.size
+    width = int(rows[0])
+    idx = np.arange(width)
+    gidx = (rows * (rows - 1) // 2)[:, None] + idx[None, :]
+    vals = st.D.get(np.minimum(gidx, nflat - 1).reshape(-1)) \
+        .reshape(K, width)
+    ok = (idx[None, :] < rows[:, None]) & (vals >= 0)
+    coef = ((st.N[rows][:, None] + st.N[None, :width] - 4) >> 1) \
+        .astype(np.float64)
+    q = np.where(ok, coef * vals - st.sD[rows][:, None]
+                 - st.sD[None, :width], np.inf)
+    rmin = q.min(axis=1)
+    rarg = np.where(q == rmin[:, None], idx[None, :], -1) \
+        .max(axis=1)                        # `<=` last-wins argmin
+    rminv = np.where(np.isfinite(rmin), rmin, DBL_MAX)
+    return rminv, rarg
+
 
 def min_q_pair(st: TreeState, seed: int):
     """minQpair, batched: candidate rows (cached Q < running min) are
@@ -326,21 +366,20 @@ def min_q_pair(st: TreeState, seed: int):
         if cand.size == 0:
             break
         rows = cand[::-1][:_QPAIR_KB]          # descending visit order
-        K = rows.size
-        width = int(rows[0])
-        idx = np.arange(width)
-        gidx = (rows * (rows - 1) // 2)[:, None] + idx[None, :]
-        vals = st.D.get(np.minimum(gidx, nflat - 1).reshape(-1)) \
-            .reshape(K, width)
-        ok = (idx[None, :] < rows[:, None]) & (vals >= 0)
-        coef = ((N[rows][:, None] + N[None, :width] - 4) >> 1) \
-            .astype(np.float64)
-        q = np.where(ok, coef * vals - sD[rows][:, None]
-                     - sD[None, :width], np.inf)
-        rmin = q.min(axis=1)
-        rarg = np.where(q == rmin[:, None], idx[None, :], -1) \
-            .max(axis=1)                        # `<=` last-wins argmin
-        rminv = np.where(np.isfinite(rmin), rmin, DBL_MAX)
+        t = st.threads
+        if t > 1 and rows.size >= 2 * t and int(rows[0]) >= 1024:
+            # split rows across workers; each chunk's pass is
+            # independent and read-only, and the merged arrays are in
+            # the original order — the sequential gating below sees
+            # exactly the single-thread values (the reference's own
+            # guarantee, nj.c:492-510)
+            chunks = [c for c in np.array_split(rows, t) if c.size]
+            parts = list(_scan_pool(t).map(
+                lambda c: _qpair_rows(st, c, nflat), chunks))
+            rminv = np.concatenate([p[0] for p in parts])
+            rarg = np.concatenate([p[1] for p in parts])
+        else:
+            rminv, rarg = _qpair_rows(st, rows, nflat)
         rm = np.minimum.accumulate(
             np.concatenate([[minv], rminv[:-1]]))
         reval = Q[rows] < rm
@@ -1151,12 +1190,15 @@ def _finish(st: TreeState, names, flag: int, precision: int):
 
 
 def build_tree(flat64, n, names, method="dnj", flag=0, precision=9,
-               dtype="d", bytescale=128.0) -> bytes:
+               dtype="d", bytescale=128.0, threads=1) -> bytes:
     """Run one join engine over a loaded matrix; returns the Newick bytes
     (without trailing ';').  ``names`` is a list of Name objects that is
-    mutated (swap-with-last ordering) exactly as the reference does."""
+    mutated (swap-with-last ordering) exactly as the reference does.
+    ``threads`` parallelizes the dnj batch Q scan (`tree -t`,
+    dnj.c:505-605) with identical output at any count."""
     cfg = METHODS[method]
     st = TreeState(flat64, n, dtype, bytescale)
+    st.threads = max(1, int(threads))
     neg = bool(flag & 2)
     mode = cfg["mode"]
 

@@ -61,11 +61,29 @@ from .segmenting import run_segmented
 IBIG = np.int32(np.iinfo(np.int32).max)
 
 
+def _bucket512(base: int) -> int:
+    """Round a 512-multiple up to the next canonical size: above 16384
+    rows, eighth-steps of powers of two (<= 12.5% row overhead).  A
+    fresh 100k-class shape costs 10-20 min of remote XLA compile on
+    this runtime and the persistent cache only matches exact shapes;
+    bucketing amortizes one compile across every n in the bucket
+    (join records are npad-invariant — padding rows are inactive by
+    the m_t masks — so results are unchanged, tested).  Disable with
+    CCPHYLO_TPU_BUCKET=0."""
+    import os
+    if base <= 16384 or os.environ.get("CCPHYLO_TPU_BUCKET",
+                                       "1") == "0":
+        return base
+    step = 1 << ((base - 1).bit_length() - 4)
+    return -(-base // step) * step
+
+
 def _pad_packed(n: int, nb: int = 1) -> int:
     """Rows padded to a multiple of 512 (word width W = npad/4 is then
-    a lane multiple).  `nb` is accepted for API compatibility with the
-    round-3 blocked layout and ignored."""
-    return max(-(-n // 512) * 512, 512)
+    a lane multiple), then to a canonical compile-cache bucket.  `nb`
+    is accepted for API compatibility with the round-3 blocked layout
+    and ignored."""
+    return _bucket512(max(-(-n // 512) * 512, 512))
 
 
 def _unpack_words(w):

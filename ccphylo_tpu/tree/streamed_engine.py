@@ -60,7 +60,10 @@ MMAX = 2048  # missing-row report capacity per abort
 
 
 def _pad512(n: int) -> int:
-    return max(-(-n // 512) * 512, 512)
+    """512-multiple, then the packed engine's compile-cache bucket
+    (packed_engine._bucket512; CCPHYLO_TPU_BUCKET=0 disables)."""
+    from .packed_engine import _bucket512
+    return _bucket512(max(-(-n // 512) * 512, 512))
 
 
 # ---------------------------------------------------------------------
