@@ -90,6 +90,9 @@ def _load():
     lib.mat_count_rows.argtypes = [p_u8, i64, i64]
     lib.fasta_pack.restype = i64
     lib.fasta_pack.argtypes = [p_u8, i64, p_u8, p_u64, p_i64]
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    lib.init_hnj_u8.restype = i64
+    lib.init_hnj_u8.argtypes = [p_u8, i64, i64, p_i32, p_i32, p_i32]
     if lib.ccphylo_native_abi() != 1:
         return None
     _lib = lib

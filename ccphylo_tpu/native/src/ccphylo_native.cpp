@@ -317,6 +317,87 @@ int64_t fasta_pack(const uint8_t *raw, int64_t len, const uint8_t *table,
     return nbase;
 }
 
+// ---------------------------------------------------------------------------
+// Streamed-engine host init (the reference's initHNJ / initQ analog,
+// dnj.c:121-180 — row sums + per-row Q/P seed in exact int32 u-units).
+//
+// Single sequential pass over the (n, n) u8 host matrix (RAM or
+// memmap): row r's full sum finalizes sD2[r] BEFORE its Q/P scan runs,
+// and that scan only reads sD2[c] for c < r, already final — so one
+// 45 GB read at n≈213k instead of the two-pass numpy formulation
+// (measured 4859 s in Python; the matrix read is the floor here).
+//
+// Semantics are the bit-exact twin of streamed_engine._host_init:
+//   sD2[r] = 2 * sum_{c<m, c!=r} D[r][c]          (int32 wraparound)
+//   Q[r]   = min_{c<r} (co0*D[r][c] - sD2[r] - sD2[c]),  co0=2(m-2)
+//   P[r]   = serial tie rule: reset on strictly smaller q; among
+//            equal-q candidates keep the LAST c whose D is <= the
+//            running D-min (numpy prefmin formulation).
+// Rows r >= m: sD2=0, Q=INT32_MAX, P=0.  Returns the seed row (max
+// r >= 1 with Q[r] == min, 0 when m <= 1).  All q arithmetic runs in
+// uint32 and is bitcast to int32 so overflow wraps exactly as numpy.
+int64_t init_hnj_u8(const uint8_t *D, int64_t n, int64_t m,
+                    int32_t *sD2, int32_t *Q, int32_t *P) {
+    const int32_t big = INT32_MAX;
+    const uint32_t co0 = (uint32_t)(2 * (m - 2));
+    for (int64_t r = 0; r < n; ++r) {
+        sD2[r] = 0;
+        Q[r] = big;
+        P[r] = 0;
+    }
+    const int64_t CH = 4096;  // chunk: vector min, scalar ties
+    for (int64_t r = 0; r < m; ++r) {
+        const uint8_t *row = D + r * n;
+        uint32_t acc = 0;
+        for (int64_t c = 0; c < m; ++c) acc += row[c];
+        acc -= row[r];
+        sD2[r] = (int32_t)(2u * acc);
+        if (r < 1) continue;
+        const uint32_t sr = (uint32_t)sD2[r];
+        int32_t qmin = big;
+        uint8_t pd = 255;
+        int64_t pc = 0;
+        bool have = false;
+        for (int64_t c0 = 0; c0 < r; c0 += CH) {
+            const int64_t c1 = (c0 + CH < r) ? c0 + CH : r;
+            int32_t cmin = big;
+            for (int64_t c = c0; c < c1; ++c) {
+                const int32_t q = (int32_t)(co0 * row[c] - sr
+                                            - (uint32_t)sD2[c]);
+                if (q < cmin) cmin = q;
+            }
+            if (cmin > qmin) continue;  // no candidate in this chunk
+            for (int64_t c = c0; c < c1; ++c) {
+                const int32_t q = (int32_t)(co0 * row[c] - sr
+                                            - (uint32_t)sD2[c]);
+                if (q < qmin || (q == qmin && !have)) {
+                    qmin = q;
+                    pd = row[c];
+                    pc = c;
+                    have = true;
+                } else if (q == qmin && row[c] <= pd) {
+                    pd = row[c];
+                    pc = c;
+                }
+            }
+        }
+        Q[r] = qmin;
+        P[r] = (int32_t)pc;
+    }
+    if (m <= 1) return 0;
+    int32_t mn0 = big;
+    int64_t seed = -1;
+    for (int64_t r = 1; r < m; ++r) {
+        if (Q[r] < mn0) {
+            mn0 = Q[r];
+            seed = r;
+        } else if (Q[r] == mn0) {
+            seed = r;  // max index among ties
+        }
+    }
+    return seed < 0 ? 0 : seed;
+}
+
 // version / health probe
 int32_t ccphylo_native_abi(void) { return 1; }
 

@@ -104,11 +104,32 @@ def _mk_one_join_streamed(n, W, X, F, m, kbatch):
         return bytes_.astype(jnp.int32)
 
     def fetch_batch(c, rs, valid, t):
-        """(K, n) int32 cells for rows rs; patched; written back with a
-        fresh epoch (self-refresh)."""
+        """(K, W) u32 patched words for rows rs; written back with a
+        fresh epoch (self-refresh).
+
+        Patching runs in WORD space, one pass per byte lane (the ring
+        holds at most one live entry per column, so within a lane the
+        scatter targets are distinct words).  The round-4 byte-space
+        formulation unpacked to a (K, W, 4) rank-3 intermediate whose
+        TPU tiling pads the size-4 minor dim to 128 — a 32x HBM blow-
+        up (3.25 GiB at n=212992, the r5 200k OOM)."""
+        W_ = c["cache"].shape[1]
         s = jnp.where(valid, c["slotof"][jnp.where(valid, rs, 0)], 0)
-        blk = c["cache"][s]                                 # (K, W) u32
-        bytes_ = _unpack_words(blk)                         # (K, n) u32
+        # per-row dynamic slices, NOT cache[s]: a flat gather on the
+        # > 2^31-element cache trips XLA's mini-gather lowering, which
+        # materializes the table as two half-width COPIES (5.23 GiB
+        # temp at n=212992) on every scan pass
+        K_ = rs.shape[0]
+
+        def _grow(i, out):
+            row = jax.lax.dynamic_slice(
+                c["cache"], (s[i], jnp.int32(0)), (1, W_))
+            return jax.lax.dynamic_update_slice(
+                out, row, (jnp.int32(i), jnp.int32(0)))
+
+        blk = jax.lax.fori_loop(
+            0, K_, _grow,
+            jnp.zeros((K_, W_), jnp.uint32))                # (K, W) u32
         rw = jnp.where(valid, rs, 0) // 4
         rl = (jnp.where(valid, rs, 0) % 4).astype(jnp.uint32)
         # (F, K) ring byte values at the gathered rows
@@ -119,14 +140,18 @@ def _mk_one_join_streamed(n, W, X, F, m, kbatch):
         K = rs.shape[0]
         kk = jnp.asarray(np.arange(K, dtype=np.int32))
         rowix = jnp.broadcast_to(kk[None, :], (F, K))
-        colix = jnp.where(pred, c["ring_col"][:, None], n)
-        bytes_ = bytes_.at[rowix, colix].set(pv, mode="drop")
+        for lane in range(4):
+            lp = pred & ((c["ring_col"] % 4) == lane)[:, None]
+            wi = jnp.where(lp, c["ring_col"][:, None] // 4, W_)
+            wold = blk[rowix, jnp.minimum(wi, W_ - 1)]      # (F, K)
+            sh = jnp.uint32(8 * lane)
+            wnew = (wold & ~(jnp.uint32(0xFF) << sh)) | (pv << sh)
+            blk = blk.at[rowix, wi].set(wnew, mode="drop")
         # write-back: patched content is current through join t-1
         sw = jnp.where(valid, s, X)
-        c = st(c, "cache", c["cache"].at[sw].set(
-            _pack_bytes(bytes_), mode="drop"))
+        c = st(c, "cache", c["cache"].at[sw].set(blk, mode="drop"))
         c = st(c, "epoch", c["epoch"].at[sw].set(t, mode="drop"))
-        return c, bytes_.astype(jnp.int32)
+        return c, blk
 
     def ring_append(c, col, vals_bytes, t):
         """Record column `col` = `vals_bytes` (n u32 byte values) at
@@ -226,13 +251,31 @@ def _mk_one_join_streamed(n, W, X, F, m, kbatch):
                 c = st(c, "miss", jax.lax.dynamic_update_slice(
                     jnp.full(MMAX, -1, jnp.int32), miss_rows,
                     (jnp.int32(2),)) if kbatch <= MMAX - 2 else c["miss"])
-                c2, Crows = fetch_batch(c, r, valid & row_ok, t)
-                q = co * Crows - sD2[r][:, None] - sD2[None, :]
-                ok = idx[None, :] < r[:, None]
-                q = jnp.where(ok, q, big)
-                rmin = q.min(axis=1)
-                rarg = jnp.where(q == rmin[:, None], idx[None, :], -1) \
-                    .max(axis=1).astype(jnp.int32)
+                # write-backs are no-ops when the pass will be redone
+                # (¬allok), so a single cache lineage flows through the
+                # loop — the round-4 lax.cond(c2, c) fork kept TWO live
+                # copies of the cache (9.75 GiB HLO temp at n=212992)
+                c, blk = fetch_batch(c, r, valid & row_ok & allok, t)
+                # plane-major Q row: per byte lane b, column 4*wi+b —
+                # no (K, n) unpack, ~same bytes as the words themselves
+                W_ = blk.shape[1]
+                wi4 = jnp.asarray(np.arange(0, n, 4, dtype=np.int32))
+                rmin = jnp.full(r.shape, big)
+                rarg = jnp.zeros(r.shape, jnp.int32)
+                for b in range(4):
+                    cell = ((blk >> jnp.uint32(8 * b))
+                            & jnp.uint32(0xFF)).astype(jnp.int32)
+                    col = wi4 + b                           # (W,)
+                    qb = co * cell - sD2[r][:, None] \
+                        - sD2[col][None, :]
+                    qb = jnp.where(col[None, :] < r[:, None], qb, big)
+                    bmn = qb.min(axis=1)
+                    bar = jnp.where(qb == bmn[:, None], col[None, :],
+                                    -1).max(axis=1).astype(jnp.int32)
+                    take = (bmn < rmin) | ((bmn == rmin)
+                                           & (bar > rarg))
+                    rmin = jnp.where(take, bmn, rmin)
+                    rarg = jnp.where(take, bar, rarg)
                 rminv = jnp.where(valid, rmin, big)
                 rm = jax.lax.cummin(
                     jnp.concatenate([minv[None], rminv[:-1]]))
@@ -252,9 +295,7 @@ def _mk_one_join_streamed(n, W, X, F, m, kbatch):
                 return (jnp.where(better, bmin, minv),
                         jnp.where(better, bi, pi),
                         jnp.where(better, karg, pj), Q, P,
-                        np_ + 1, jax.lax.cond(allok, lambda a, b: a,
-                                              lambda a, b: b, c2, c),
-                        allok)
+                        np_ + 1, c, allok)
 
             minv, pi, pj, Qf, Pf, np_, c, sok = jax.lax.while_loop(
                 bcond, bbody,
@@ -471,7 +512,33 @@ def _apply_uploads(cache, slotof, rowof, epoch, up_words, up_slots,
 
 def _host_init(Dq: np.ndarray, m: int, chunk: int = 4096):
     """sD2 / Q / P / seed in exact int32 u-units from the host matrix
-    (the numpy twin of packed_engine._packed_init)."""
+    (the numpy twin of packed_engine._packed_init).
+
+    Prefers the native single-pass kernel (init_hnj_u8, one sequential
+    read of the matrix — the numpy two-pass formulation measured
+    4859 s at n=212992 on this box); bit-exact either way
+    (tests/test_streamed_engine.py)."""
+    n = Dq.shape[0]
+    if Dq.flags["C_CONTIGUOUS"]:
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None:
+            import ctypes
+            sD2 = np.zeros(n, np.int32)
+            Q = np.zeros(n, np.int32)
+            P = np.zeros(n, np.int32)
+            p_i32 = ctypes.POINTER(ctypes.c_int32)
+            seed = lib.init_hnj_u8(
+                Dq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                n, int(m),
+                sD2.ctypes.data_as(p_i32), Q.ctypes.data_as(p_i32),
+                P.ctypes.data_as(p_i32))
+            return sD2, Q, P, max(int(seed), 0)
+    return _host_init_np(Dq, m, chunk)
+
+
+def _host_init_np(Dq: np.ndarray, m: int, chunk: int = 4096):
+    """Pure-numpy fallback (and the native kernel's parity oracle)."""
     n = Dq.shape[0]
     big = np.int32(np.iinfo(np.int32).max)
     idx = np.arange(n, dtype=np.int64)

@@ -104,3 +104,28 @@ def test_streamed_livelock_guard():
     Dq[:, n:] = 0
     with pytest.raises(RuntimeError, match="livelock"):
         dnj_joins_streamed(Dq, n, X=64, F=16)
+
+
+@pytest.mark.parametrize("n,m", [(512, 500), (1024, 1024), (512, 2),
+                                 (512, 3)])
+def test_native_host_init_parity(n, m):
+    """init_hnj_u8 (native single-pass) must be bit-exact vs the numpy
+    formulation — sums, Q, the prefmin P tie rule, and the seed row —
+    on tie-dense u8 data with padded rows and m < n."""
+    from ccphylo_tpu.native import get_lib
+    from ccphylo_tpu.tree.streamed_engine import (_host_init,
+                                                  _host_init_np)
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(n + m)
+    Dq = rng.randint(0, 7, (n, n)).astype(np.uint8)  # dense ties
+    Dq = np.minimum(Dq, Dq.T)
+    np.fill_diagonal(Dq, 0)
+    Dq[m:, :] = 0
+    Dq[:, m:] = 0
+    sD2_a, Q_a, P_a, seed_a = _host_init(Dq, m)
+    sD2_b, Q_b, P_b, seed_b = _host_init_np(Dq, m)
+    np.testing.assert_array_equal(sD2_a, sD2_b)
+    np.testing.assert_array_equal(Q_a, Q_b)
+    np.testing.assert_array_equal(P_a, P_b)
+    assert seed_a == seed_b
