@@ -33,13 +33,6 @@ def main():
         s((X, W), u32),          # cache
         s((n,), i32),            # slotof
         s((X,), i32),            # rowof
-        s((X,), i32),            # epoch
-        s((F, W), u32),          # ring_vals
-        s((F,), i32),            # ring_col
-        s((F,), i32),            # ring_t
-        s((n,), i32),            # ring_index (per-column)
-        s((), i32),              # ring_next
-        s((), i32),              # ring_floor
         s((n,), i32),            # sD2
         s((n,), i32),            # Q
         s((n,), i32),            # P
@@ -55,7 +48,7 @@ def main():
         s((se.MMAX,), i32),      # miss
     )
     lowered = se._streamed_segment.lower(
-        *args, jnp.int32(0), n, n=n, X=X, F=F, kbatch=kbatch)
+        *args, jnp.int32(0), n, n=n, X=X, kbatch=kbatch)
     compiled = lowered.compile()
     ma = compiled.memory_analysis()
     gib = 1 << 30

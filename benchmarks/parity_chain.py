@@ -79,7 +79,7 @@ def run_packed(n, mod, kbatch):
     return rec, LI, LJ, int(np.asarray(dl2))
 
 
-def _gen_mmap_fast(path, n, npad, mod, lo=3):
+def _gen_mmap_fast(path, n, npad, mod, lo=3, data="hash"):
     """Disk memmap of the synth matrix via the native generator
     (benchmarks/synth_gen.c) — the numpy formulation streams ~8
     full-matrix temporaries through this box's 2 cores (hours at
@@ -87,14 +87,15 @@ def _gen_mmap_fast(path, n, npad, mod, lo=3):
     size is REUSED after spot-verifying 512 random cells against
     cell_hash_np, so an interrupted engine run never pays gen twice."""
     import subprocess
-    from benchmarks.synth import cell_hash_np
+    from benchmarks.synth import cell_hash_np, cell_metric_np
+    cell = cell_metric_np if data == "metric" else cell_hash_np
     want = npad * npad
     rng = np.random.default_rng(0)
     ri = rng.integers(0, n, 512).astype(np.uint32)
     rj = rng.integers(0, n, 512).astype(np.uint32)
     if os.path.exists(path) and os.path.getsize(path) == want:
         Dq = np.memmap(path, np.uint8, "r+", shape=(npad, npad))
-        if np.array_equal(Dq[ri, rj], cell_hash_np(ri, rj, mod)):
+        if np.array_equal(Dq[ri, rj], cell(ri, rj, mod)):
             print("gen: reusing existing memmap", flush=True)
             return Dq
         del Dq
@@ -106,25 +107,27 @@ def _gen_mmap_fast(path, n, npad, mod, lo=3):
         subprocess.run(["gcc", "-O3", "-march=native", "-o", binp, src,
                         "-lpthread"], check=True)
     subprocess.run([binp, path, str(n), str(npad), str(mod), str(lo),
-                    str(os.cpu_count() or 1)], check=True)
+                    str(os.cpu_count() or 1), data], check=True)
     Dq = np.memmap(path, np.uint8, "r+", shape=(npad, npad))
-    assert np.array_equal(Dq[ri, rj], cell_hash_np(ri, rj, mod)), \
-        "native generator does not match cell_hash_np"
+    assert np.array_equal(Dq[ri, rj], cell(ri, rj, mod)), \
+        "native generator does not match the synth cell fn"
     return Dq
 
 
-def run_streamed(n, mod, kbatch, X, F, mmap_path=None):
+def run_streamed(n, mod, kbatch, X, F, mmap_path=None,
+                 data="hash"):
     """Beyond-HBM engine: canonical matrix host-side (RAM or disk
     memmap), chip holds the X-row cache + F-entry patch ring."""
     import resource
     from ccphylo_tpu.tree.packed_engine import limbs_host
     from ccphylo_tpu.tree.streamed_engine import (_pad512,
                                                   dnj_joins_streamed)
-    from benchmarks.synth import cell_hash_np
+    from benchmarks.synth import cell_hash_np, cell_metric_np
+    cell = cell_metric_np if data == "metric" else cell_hash_np
     npad = _pad512(n)
     t0 = time.perf_counter()
     if mmap_path:
-        Dq = _gen_mmap_fast(mmap_path, n, npad, mod)
+        Dq = _gen_mmap_fast(mmap_path, n, npad, mod, data=data)
     else:
         Dq = np.empty((npad, npad), np.uint8)
         ch = 4096
@@ -132,7 +135,7 @@ def run_streamed(n, mod, kbatch, X, F, mmap_path=None):
         for r0 in range(0, npad, ch):
             r1 = min(r0 + ch, npad)
             rows = np.arange(r0, r1, dtype=np.uint32)
-            blk = cell_hash_np(rows[:, None], cols[None, :], mod)
+            blk = cell(rows[:, None], cols[None, :], mod)
             if r1 > n:
                 blk[max(n - r0, 0):, :] = 0
             blk[:, n:] = 0
@@ -284,6 +287,9 @@ def main():
                          "against (skips re-running the C binary)")
     ap.add_argument("--records-out", default=None)
     ap.add_argument("--records-in", default=None)
+    ap.add_argument("--data", choices=["hash", "metric"],
+                    default="hash",
+                    help="synth family: tie-dense hash (adversarial) or clustered metric (phylogeny-like)")
     args = ap.parse_args()
 
     if args.mode == "gen":
@@ -318,7 +324,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     if args.engine == "streamed":
         rec, LI, LJ, dl2 = run_streamed(args.n, args.mod, args.kbatch,
-                                        args.X, args.F, args.mmap)
+                                        args.X, args.F, args.mmap,
+                                        data=args.data)
     else:
         rec, LI, LJ, dl2 = run_packed(args.n, args.mod, args.kbatch)
     if args.records_out:

@@ -52,6 +52,35 @@ def cell_hash_jax(i, j, mod=97, lo=3):
     return jnp.where(i == j, jnp.uint32(0), v)
 
 
+def _coord_np(x, d):
+    """0..255 coordinate hash for point index x at level d."""
+    x = np.asarray(x, np.uint32)
+    with np.errstate(over="ignore"):
+        h = x * K1 + np.uint32(d) * K2 + K3
+        h ^= h >> np.uint32(15)
+        h *= K3
+        h ^= h >> np.uint32(13)
+    return ((h >> np.uint32(7)) & np.uint32(0xFF)).astype(np.int32)
+
+
+def cell_metric_np(i, j, mod=97, lo=3):
+    """Metric synthetic cells: L1 distance between 8-level
+    hierarchically clustered points (coordinate d of point k depends
+    on k >> d, so index-close taxa share coarse coordinates — the
+    phylogeny-like regime, vs cell_hash_np's adversarial tie-dense
+    one).  Triangle inequality holds by construction (L1 over a shared
+    embedding).  `mod`/`lo` accepted for signature parity; values are
+    0 (diagonal) or 3..255."""
+    i = np.asarray(i, np.uint32)
+    j = np.asarray(j, np.uint32)
+    acc = np.zeros(np.broadcast(i, j).shape, np.int32)
+    for d in range(8):
+        acc = acc + np.abs(_coord_np(i >> np.uint32(d), d)
+                           - _coord_np(j >> np.uint32(d), d))
+    v = np.minimum(3 + (acc >> 3), 255).astype(np.uint8)
+    return np.where(i == j, np.uint8(0), v)
+
+
 def write_phy(path: str, n: int, mod=97, lo=3, progress=False):
     """Write the n-taxon synthetic matrix as lower-triangular Phylip
     text (integer cells, tab-separated — loadPhy-compatible).  Fast

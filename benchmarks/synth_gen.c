@@ -9,7 +9,13 @@
  *   h ^= h >> 15;  h *= 2246822519;  h ^= h >> 13
  *   v = h % mod + lo   (0 on the diagonal / padding)
  *
- * Usage: synth_gen FILE n npad mod lo nthreads
+ * Metric mode (7th arg "metric", must match synth.cell_metric_np):
+ * coordinate d of point k is a hash of (k >> d, d); cells are the L1
+ * distance over the 8 levels, scaled to 3..255 (0 diagonal/padding).
+ * Per-level coordinate arrays are precomputed once (8 * npad bytes),
+ * so the per-cell cost stays ~8 adds.
+ *
+ * Usage: synth_gen FILE n npad mod lo nthreads [hash|metric]
  */
 #define _GNU_SOURCE
 #include <fcntl.h>
@@ -21,7 +27,16 @@
 #include <unistd.h>
 
 static uint32_t N, NPAD, MOD, LO;
-static int FD;
+static int FD, METRIC;
+static int32_t *COORD[8]; /* per-level coordinates, [d][j] */
+
+static int32_t hcoord(uint32_t x, uint32_t d) {
+    uint32_t h = x * 2654435761u + d * 40503u + 2246822519u;
+    h ^= h >> 15;
+    h *= 2246822519u;
+    h ^= h >> 13;
+    return (int32_t)((h >> 7) & 0xFFu);
+}
 
 static void *worker(void *arg) {
     long t = (long)(intptr_t)arg;
@@ -30,6 +45,21 @@ static void *worker(void *arg) {
     for (uint32_t i = tid; i < NPAD; i += nthr) {
         if (i >= N) {
             memset(row, 0, NPAD);
+        } else if (METRIC) {
+            int32_t ci[8];
+            for (uint32_t d = 0; d < 8; ++d)
+                ci[d] = COORD[d][i];
+            for (uint32_t j = 0; j < N; ++j) {
+                int32_t acc = 0;
+                for (uint32_t d = 0; d < 8; ++d) {
+                    int32_t df = ci[d] - COORD[d][j];
+                    acc += df < 0 ? -df : df;
+                }
+                int32_t v = 3 + (acc >> 3);
+                row[j] = (uint8_t)(v > 255 ? 255 : v);
+            }
+            row[i] = 0;
+            if (NPAD > N) memset(row + N, 0, NPAD - N);
         } else {
             for (uint32_t j = 0; j < N; ++j) {
                 uint32_t hi = i > j ? i : j, lo = i > j ? j : i;
@@ -52,8 +82,9 @@ static void *worker(void *arg) {
 }
 
 int main(int argc, char **argv) {
-    if (argc != 7) {
-        fprintf(stderr, "usage: %s FILE n npad mod lo nthreads\n",
+    if (argc != 7 && argc != 8) {
+        fprintf(stderr,
+                "usage: %s FILE n npad mod lo nthreads [hash|metric]\n",
                 argv[0]);
         return 2;
     }
@@ -62,6 +93,14 @@ int main(int argc, char **argv) {
     MOD = (uint32_t)strtoul(argv[4], 0, 10);
     LO = (uint32_t)strtoul(argv[5], 0, 10);
     long nthr = strtol(argv[6], 0, 10);
+    METRIC = argc > 7 && strcmp(argv[7], "metric") == 0;
+    if (METRIC) {
+        for (uint32_t d = 0; d < 8; ++d) {
+            COORD[d] = malloc(NPAD * sizeof(int32_t));
+            for (uint32_t j = 0; j < NPAD; ++j)
+                COORD[d][j] = hcoord(j >> d, d);
+        }
+    }
     FD = open(argv[1], O_WRONLY | O_CREAT, 0644);
     if (FD < 0) {
         perror("open");

@@ -5,21 +5,22 @@ quantized lower-triangular matrix on disk behind mmap and letting the
 OS page the hot rows (matrix.c:116-231, bytescale.h:20-23; dnj.c:985-
 1162 runs unchanged on top).  TPU-native equivalent built here: the
 canonical u8 matrix lives in HOST memory (optionally a numpy memmap on
-disk — the literal mmap analog), and the chip holds
+disk — the literal mmap analog), and the chip holds a row CACHE of X
+rows, (X, W) uint32 words (4 cells/word), addressed through slot
+indirection `slotof[row] -> slot`, `rowof[slot] -> row`.
 
-  * a row CACHE of X rows, (X, W) uint32 words (4 cells/word), addressed
-    through slot indirection `slotof[row] -> slot`, `rowof[slot] -> row`;
-  * a column-patch RING of the last F written columns, (F, W) words +
-    (col, t) metadata: every join writes rows i and j in full, and by
-    the engine's row/column symmetry those rows ARE the updated columns
-    — so a cached row r that missed later column writes is repaired on
-    read by overlaying `ring_vals[f][r]` at column `ring_col[f]` for
-    every entry with `ring_t[f] >= epoch[slot]`;
-  * `epoch[slot]`: the join time through which the slot's content is
-    current.  Rows gathered by the scan are patched and written back
-    with a fresh epoch (self-refreshing hot set); rows that fall behind
-    the ring window (`epoch <= ring_floor`, the floor rising as ring
-    slots are recycled) become unfetchable and must be re-uploaded.
+Resident rows are kept CURRENT IN PLACE: every join writes its two
+changed rows in full (write_row), and — by the engine's row/column
+symmetry — writes the matching column into every resident slot with
+one word-column read-modify-write (col_write, X*4 bytes per column).
+The first design iteration instead recorded columns in a patch ring
+overlaid on read, with per-slot epochs and a rising floor; that made
+every resident row expire every ~F/2 joins, and the periodic
+whole-working-set re-upload (~2 GB per F window at n=49k) dominated
+the run.  Direct column writes cost ~400 KB/join of HBM traffic and
+make residency permanent: a cached row is simply always current, so
+scans are pure reads and the only aborts left are genuinely absent
+rows.
 
 A segment (tree/segmenting.py) executes joins while every row it needs
 — the scan candidate set {r: Q[r] < minv0}, the pair rows (i, j =
@@ -28,17 +29,17 @@ join that would touch a non-fetchable row ABORTS the segment before
 mutating join state; the device reports the missing rows and the host
 (1) replays the completed join records onto the canonical host matrix
 (exact-integer replay, bit-identical bytes by construction), (2)
-uploads the missing rows plus a bottom-Q prefetch set at the current
-epoch, evicting the highest-Q residents, and (3) re-dispatches.  All
-trajectory arithmetic is the same int32 u-unit arithmetic as
-tree/packed_engine.py, so the join records are bit-identical to the
-in-HBM engine (and to the C reference) at any cache size — the cache
-only decides WHEN a row is read, never what it contains.
+uploads the missing rows plus a bottom-Q prefetch set, evicting the
+highest-Q residents, and (3) re-dispatches.  All trajectory arithmetic
+is the same int32 u-unit arithmetic as tree/packed_engine.py, so the
+join records are bit-identical to the in-HBM engine (and to the C
+reference) at any cache size — the cache only decides WHEN a row is
+read, never what it contains.
 
-Scaling: HBM holds X*n bytes of cache + F*n bytes of ring + O(n) state
-instead of the n^2 matrix; host RAM (or disk via --mmap) holds the n^2
-bytes.  At n = 200704 that is ~40 GB host-side against ~10-13 GB HBM
-(X = 49152, F = 1024) on a 16 GB chip.
+Scaling: HBM holds X*n bytes of cache + O(n) state instead of the n^2
+matrix; host RAM (or disk via --mmap) holds the n^2 bytes.  At
+n = 212992 that is ~45 GB host-side against ~10 GB HBM (X = 49152) on
+a 16 GB chip.
 """
 
 from __future__ import annotations
@@ -70,13 +71,12 @@ def _pad512(n: int) -> int:
 # device programs
 
 
-def _mk_one_join_streamed(n, W, X, F, m, kbatch):
-    """one_join over the (X, W) cache + (F, W) ring.  Mirrors
+def _mk_one_join_streamed(n, W, X, m, kbatch):
+    """one_join over the (X, W) slot cache.  Mirrors
     packed_engine._mk_one_join_packed cell for cell; only row access
-    goes through slots/patches and column writes become ring appends."""
+    goes through slots and column writes go to every resident slot."""
     big = jnp.int32(IBIG)
     idx = jnp.asarray(np.arange(n, dtype=np.int32))
-    fidx = jnp.asarray(np.arange(F, dtype=np.int32))
 
     def st(c, k, v):
         c = dict(c)
@@ -84,41 +84,23 @@ def _mk_one_join_streamed(n, W, X, F, m, kbatch):
         return c
 
     def fetchable(c, r):
-        s = c["slotof"][r]
-        return (s >= 0) & (c["epoch"][jnp.maximum(s, 0)] > c["ring_floor"])
-
-    def patch_pred(c, s):
-        """(F,) bool: ring entries applicable to slot s."""
-        return (c["ring_col"] >= 0) & (c["ring_t"] >= c["epoch"][s])
+        return c["slotof"][r] >= 0
 
     def fetch_one(c, r):
-        """(n,) int32 cells of row r, ring-patched (caller ensures
-        fetchable)."""
+        """(n,) int32 cells of row r (caller ensures fetchable)."""
         s = jnp.maximum(c["slotof"][r], 0)
-        bytes_ = _unpack_words(c["cache"][s])               # (n,) u32
-        rw, rl = r // 4, (r % 4).astype(jnp.uint32)
-        pv = (c["ring_vals"][:, rw] >> (8 * rl)) & jnp.uint32(0xFF)
-        pred = patch_pred(c, s)
-        tgt = jnp.where(pred, c["ring_col"], n)
-        bytes_ = bytes_.at[tgt].set(jnp.where(pred, pv, 0), mode="drop")
-        return bytes_.astype(jnp.int32)
+        return _unpack_words(c["cache"][s]).astype(jnp.int32)
 
-    def fetch_batch(c, rs, valid, t):
-        """(K, W) u32 patched words for rows rs; written back with a
-        fresh epoch (self-refresh).
+    def fetch_batch(c, rs, valid):
+        """(K, W) u32 words for rows rs — pure reads (residents are
+        always current; see module doc).
 
-        Patching runs in WORD space, one pass per byte lane (the ring
-        holds at most one live entry per column, so within a lane the
-        scatter targets are distinct words).  The round-4 byte-space
-        formulation unpacked to a (K, W, 4) rank-3 intermediate whose
-        TPU tiling pads the size-4 minor dim to 128 — a 32x HBM blow-
-        up (3.25 GiB at n=212992, the r5 200k OOM)."""
+        Per-row dynamic slices, NOT cache[s]: a flat gather on the
+        > 2^31-element cache trips XLA's mini-gather lowering, which
+        materializes the table as two half-width COPIES (5.23 GiB
+        temp at n=212992) on every scan pass."""
         W_ = c["cache"].shape[1]
         s = jnp.where(valid, c["slotof"][jnp.where(valid, rs, 0)], 0)
-        # per-row dynamic slices, NOT cache[s]: a flat gather on the
-        # > 2^31-element cache trips XLA's mini-gather lowering, which
-        # materializes the table as two half-width COPIES (5.23 GiB
-        # temp at n=212992) on every scan pass
         K_ = rs.shape[0]
 
         def _grow(i, out):
@@ -127,64 +109,31 @@ def _mk_one_join_streamed(n, W, X, F, m, kbatch):
             return jax.lax.dynamic_update_slice(
                 out, row, (jnp.int32(i), jnp.int32(0)))
 
-        blk = jax.lax.fori_loop(
+        return jax.lax.fori_loop(
             0, K_, _grow,
             jnp.zeros((K_, W_), jnp.uint32))                # (K, W) u32
-        rw = jnp.where(valid, rs, 0) // 4
-        rl = (jnp.where(valid, rs, 0) % 4).astype(jnp.uint32)
-        # (F, K) ring byte values at the gathered rows
-        pv = (c["ring_vals"][:, rw] >> (8 * rl)[None, :]) \
-            & jnp.uint32(0xFF)
-        pred = (c["ring_col"] >= 0)[:, None] \
-            & (c["ring_t"][:, None] >= c["epoch"][s][None, :])
-        K = rs.shape[0]
-        kk = jnp.asarray(np.arange(K, dtype=np.int32))
-        rowix = jnp.broadcast_to(kk[None, :], (F, K))
-        for lane in range(4):
-            lp = pred & ((c["ring_col"] % 4) == lane)[:, None]
-            wi = jnp.where(lp, c["ring_col"][:, None] // 4, W_)
-            wold = blk[rowix, jnp.minimum(wi, W_ - 1)]      # (F, K)
-            sh = jnp.uint32(8 * lane)
-            wnew = (wold & ~(jnp.uint32(0xFF) << sh)) | (pv << sh)
-            blk = blk.at[rowix, wi].set(wnew, mode="drop")
-        # write-back: patched content is current through join t-1
-        sw = jnp.where(valid, s, X)
-        c = st(c, "cache", c["cache"].at[sw].set(blk, mode="drop"))
-        c = st(c, "epoch", c["epoch"].at[sw].set(t, mode="drop"))
-        return c, blk
 
-    def ring_append(c, col, vals_bytes, t):
-        """Record column `col` = `vals_bytes` (n u32 byte values) at
-        join t; one live entry per column, floor rises on recycle."""
-        e_old = c["ring_index"][col]
-        have = e_old >= 0
-        e = jnp.where(have, e_old, c["ring_next"] % F)
-        evc = c["ring_col"][e]
-        evict = (~have) & (evc >= 0)
-        c = st(c, "ring_floor",
-               jnp.maximum(c["ring_floor"],
-                           jnp.where(evict, c["ring_t"][e],
-                                     c["ring_floor"])))
-        c = st(c, "ring_index", c["ring_index"]
-               .at[jnp.where(evict, evc, n)].set(-1, mode="drop"))
-        c = st(c, "ring_vals", jax.lax.dynamic_update_slice(
-            c["ring_vals"], _pack_bytes(vals_bytes)[None, :],
-            (e, jnp.int32(0))))
-        c = st(c, "ring_col", c["ring_col"].at[e].set(col))
-        c = st(c, "ring_t", c["ring_t"].at[e].set(t))
-        c = st(c, "ring_index", c["ring_index"].at[col].set(e))
-        c = st(c, "ring_next",
-               c["ring_next"] + jnp.where(have, 0, 1))
-        return c
+    def col_write(c, col, vals_bytes, on):
+        """Write column `col` = `vals_bytes` (n u32 byte values) into
+        every resident slot: one word-column read-modify-write, X*4
+        bytes.  Empty slots receive garbage lanes — harmless, their
+        content is dead until a full-row upload rebinds them."""
+        wi = col // 4
+        sh = 8 * (col % 4).astype(jnp.uint32)
+        pv = vals_bytes[jnp.maximum(c["rowof"], 0)]         # (X,)
+        wold = jax.lax.dynamic_slice(
+            c["cache"], (jnp.int32(0), wi), (X, 1))[:, 0]
+        wnew = (wold & ~(jnp.uint32(0xFF) << sh)) | (pv << sh)
+        wnew = jnp.where(on, wnew, wold)
+        return st(c, "cache", jax.lax.dynamic_update_slice(
+            c["cache"], wnew[:, None], (jnp.int32(0), wi)))
 
-    def write_row(c, r, bytes_u32, t_epoch):
+    def write_row(c, r, bytes_u32):
         """Store row r's content (u32 byte values) into its slot."""
         s = jnp.maximum(c["slotof"][r], 0)
-        c = st(c, "cache", jax.lax.dynamic_update_slice(
+        return st(c, "cache", jax.lax.dynamic_update_slice(
             c["cache"], _pack_bytes(bytes_u32)[None, :],
             (s, jnp.int32(0))))
-        c = st(c, "epoch", c["epoch"].at[s].set(t_epoch))
-        return c
 
     def last_min(q):
         mn = q.min()
@@ -209,8 +158,7 @@ def _mk_one_join_streamed(n, W, X, F, m, kbatch):
         # bounds beat the running min — typically passes*kbatch rows —
         # so demanding the whole {Q < minv0} superset be resident would
         # force X >= |cand| for nothing)
-        fetch_ok = (c["slotof"] >= 0) \
-            & (c["epoch"][jnp.maximum(c["slotof"], 0)] > c["ring_floor"])
+        fetch_ok = c["slotof"] >= 0
         need = (idx == last) \
             | (seed_ok & ((idx == pi0) | (idx == pj0)))
         missing = need & ~fetch_ok
@@ -242,20 +190,13 @@ def _mk_one_join_streamed(n, W, X, F, m, kbatch):
                 # gather (redo-safe: revalidation writes exact values
                 # the C would write at this join, so re-running the
                 # scan after a host refresh picks the same pair)
-                s_r = c["slotof"][r]
-                row_ok = ~valid | ((s_r >= 0)
-                                   & (c["epoch"][jnp.maximum(s_r, 0)]
-                                      > c["ring_floor"]))
+                row_ok = ~valid | (c["slotof"][r] >= 0)
                 allok = row_ok.all()
                 miss_rows = jnp.where(valid & ~row_ok, rows, -1)
                 c = st(c, "miss", jax.lax.dynamic_update_slice(
                     jnp.full(MMAX, -1, jnp.int32), miss_rows,
                     (jnp.int32(2),)) if kbatch <= MMAX - 2 else c["miss"])
-                # write-backs are no-ops when the pass will be redone
-                # (¬allok), so a single cache lineage flows through the
-                # loop — the round-4 lax.cond(c2, c) fork kept TWO live
-                # copies of the cache (9.75 GiB HLO temp at n=212992)
-                c, blk = fetch_batch(c, r, valid & row_ok & allok, t)
+                blk = fetch_batch(c, r, valid & row_ok & allok)
                 # plane-major Q row: per byte lane b, column 4*wi+b —
                 # no (K, n) unpack, ~same bytes as the words themselves
                 W_ = blk.shape[1]
@@ -318,12 +259,9 @@ def _mk_one_join_streamed(n, W, X, F, m, kbatch):
             ci = fetch_one(c, i)
             cj = fetch_one(c, j)
             cij = ci[j]
-            # fetch the popArrange source BEFORE any ring appends: an
-            # append below may recycle a ring slot whose column patch
-            # this row still needs (the pre-check validated against the
-            # pre-join floor; measured failure without this: stale cell
-            # read at a recycled column, n=600 join 565).  The only
-            # cell of `last` this join changes is column j = q_new.
+            # fetch the popArrange source BEFORE this join's writes
+            # land (the only cell of `last` this join changes is
+            # column j = q_new, re-applied below via move_bytes)
             last_pre = fetch_one(c, m_t - 1).astype(jnp.uint32)
             c = st(c, "DIJ2", c["DIJ2"].at[t].set(
                 jnp.where(hp, 2 * cij, 0)))
@@ -345,8 +283,8 @@ def _mk_one_join_streamed(n, W, X, F, m, kbatch):
                 .astype(jnp.uint32)
             rowj_bytes = jnp.where(valid_k, q_new,
                                    cj.astype(jnp.uint32))
-            c = write_row(c, j, rowj_bytes, t)
-            c = ring_append(c, j, rowj_bytes, t)
+            c = write_row(c, j, rowj_bytes)
+            c = col_write(c, j, rowj_bytes, hp)
 
             Q, P = c["Q"], c["P"]
             co_post = 2 * (m_t - 3)
@@ -377,16 +315,12 @@ def _mk_one_join_streamed(n, W, X, F, m, kbatch):
             old_i = ci.astype(jnp.uint32)
             newrow_i = jnp.where(idx == i, jnp.uint32(0), move_bytes)
             rowi_bytes = jnp.where(g, newrow_i, old_i)
-            # epoch t+1: ring entries of THIS join must not re-patch
-            # the moved row (they are indexed by the old identity)
-            c = write_row(c, i, rowi_bytes, t + 1)
-            c = ring_append(c, i, rowi_bytes, t)
+            c = write_row(c, i, rowi_bytes)
+            c = col_write(c, i, rowi_bytes, hp)
             # free the vacated slot
             slot_last = c["slotof"][last]
             sl_w = jnp.where(g, jnp.maximum(slot_last, 0), X)
             c = st(c, "rowof", c["rowof"].at[sl_w].set(-1, mode="drop"))
-            c = st(c, "epoch", c["epoch"].at[sl_w].set(
-                jnp.int32(-(2 ** 31) + 1), mode="drop"))
             c = st(c, "slotof", c["slotof"]
                    .at[jnp.where(g, last, n)].set(-1, mode="drop"))
 
@@ -455,25 +389,21 @@ def _mk_one_join_streamed(n, W, X, F, m, kbatch):
     return one_join
 
 
-_STATE_KEYS = ("cache", "slotof", "rowof", "epoch", "ring_vals",
-               "ring_col", "ring_t", "ring_index", "ring_next",
-               "ring_floor", "sD2", "Q", "P", "seed", "I", "J",
-               "DIJ2", "SDI2", "SDJ2", "stats", "t", "ok", "miss")
+_STATE_KEYS = ("cache", "slotof", "rowof", "sD2", "Q", "P", "seed",
+               "I", "J", "DIJ2", "SDI2", "SDJ2", "stats", "t", "ok",
+               "miss")
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "X", "F", "kbatch"),
-                   donate_argnums=tuple(range(23)))
-def _streamed_segment(cache, slotof, rowof, epoch, ring_vals, ring_col,
-                      ring_t, ring_index, ring_next, ring_floor, sD2,
-                      Q, P, seed, I, J, DIJ2, SDI2, SDJ2, stats, t, ok,
-                      miss, t1, m, n, X, F, kbatch):
+                   static_argnames=("n", "X", "kbatch"),
+                   donate_argnums=tuple(range(16)))
+def _streamed_segment(cache, slotof, rowof, sD2, Q, P, seed, I, J,
+                      DIJ2, SDI2, SDJ2, stats, t, ok, miss, t1, m,
+                      n, X, kbatch):
     W = cache.shape[1]
-    one_join = _mk_one_join_streamed(n, W, X, F, m, kbatch)
-    c0 = dict(zip(_STATE_KEYS, (cache, slotof, rowof, epoch, ring_vals,
-                                ring_col, ring_t, ring_index, ring_next,
-                                ring_floor, sD2, Q, P, seed, I, J, DIJ2,
-                                SDI2, SDJ2, stats, t,
+    one_join = _mk_one_join_streamed(n, W, X, m, kbatch)
+    c0 = dict(zip(_STATE_KEYS, (cache, slotof, rowof, sD2, Q, P, seed,
+                                I, J, DIJ2, SDI2, SDJ2, stats, t,
                                 jnp.bool_(True), miss)))
 
     def cond(c):
@@ -484,26 +414,29 @@ def _streamed_segment(cache, slotof, rowof, epoch, ring_vals, ring_col,
 
 
 @functools.partial(jax.jit, static_argnames=("X",),
-                   donate_argnums=(0, 1, 2, 3))
-def _apply_uploads(cache, slotof, rowof, epoch, up_words, up_slots,
-                   up_rows, t_now, X):
+                   donate_argnums=(0, 1, 2))
+def _apply_uploads(cache, slotof, rowof, up_words, up_slots,
+                   up_rows, X):
     """Install uploaded rows: evict the slots' previous tenants, bind
-    the new rows, stamp the current epoch."""
+    the new rows."""
     n = slotof.shape[0]
-    old_rows = rowof[up_slots]
+    valid = up_rows >= 0
+    # padded lanes (up_rows == -1, bucketed batch sizes) carry slot X:
+    # clamp the rowof gather and mask its result so a padded lane can
+    # never read slot X-1's tenant and unbind a legitimate resident
+    old_rows = jnp.where(valid,
+                         rowof[jnp.minimum(up_slots, X - 1)], -1)
     # drop-mode out-of-range targets for the no-op lanes: an in-range
     # dummy index (e.g. 0) races nondeterministically with a genuine
     # eviction of that row in the same scatter
     slotof = slotof.at[jnp.where(old_rows >= 0, old_rows, n)].set(
         -1, mode="drop")
-    valid = up_rows >= 0
     sw = jnp.where(valid, up_slots, X)
     cache = cache.at[sw].set(up_words, mode="drop")
     rowof = rowof.at[sw].set(up_rows, mode="drop")
-    epoch = epoch.at[sw].set(t_now, mode="drop")
     slotof = slotof.at[jnp.where(valid, up_rows, n)].set(
         jnp.where(valid, up_slots, -1), mode="drop")
-    return cache, slotof, rowof, epoch
+    return cache, slotof, rowof
 
 
 # ---------------------------------------------------------------------
@@ -583,7 +516,8 @@ class StreamedDNJ:
          with zero rows/cols beyond `m` (use `_pad512`).
     m  : active taxa.
     X  : cache rows (device HBM budget ~ X * npad bytes).
-    F  : column-patch ring entries (device ~ F * npad bytes).
+    F  : accepted for API compatibility; unused since the patch ring
+         was replaced by direct column writes (see module doc).
     """
 
     def __init__(self, Dq: np.ndarray, m: int, X: int = 4096,
@@ -619,9 +553,9 @@ class StreamedDNJ:
         the seed pair, and the popArrange horizon.  Everything here is
         protected from eviction; anything unfetchable is uploaded."""
         n, m = self.n, self.m
-        Q_h = np.asarray(state[11])
-        P_h = np.asarray(state[12])
-        seed = int(np.asarray(state[13]))
+        Q_h = np.asarray(state[4])
+        P_h = np.asarray(state[5])
+        seed = int(np.asarray(state[6]))
         big = np.int32(np.iinfo(np.int32).max)
         m_t = m - t_now
         idx = np.arange(n)
@@ -630,51 +564,54 @@ class StreamedDNJ:
         rows = [m_t - 1]  # popArrange source
         if seed_ok:
             rows += [seed, int(P_h[seed])]
-        # the scan gathers candidates in DESCENDING INDEX order
-        # (topk_mask_indices), so the rows it will visit first are the
-        # highest-index candidates — protect/prefetch that prefix, not
-        # the lowest-Q rows (protecting the wrong axis ping-pongs the
-        # uploads against the scan's own gathers)
+        # the scan gathers EVERY current candidate batch-by-batch in
+        # descending index order (cummin gating only masks the reval,
+        # not the gather), so the working set of one join is the WHOLE
+        # set {Q < minv0} — protect all of it when it fits (measured at
+        # n=49k: ~5k candidates/join, and a 1024-row prefix caused 3-5
+        # aborts per join walking the set piecewise).  Descending index
+        # order keeps the scan's first batches at the front so the
+        # required-first truncation in _upload degrades gracefully.
         cand = np.nonzero((idx >= 1) & (idx < m_t)
                           & (Q_h < minv0))[0]
-        cap = max(min(max(self.prefetch, 2 * self.kbatch),
-                      self.X - self.X // 4) - len(rows), 0)
+        cap = max(self.X - self.X // 8 - len(rows), 0)
         rows.extend(int(r) for r in cand[::-1][:cap])
         return rows
 
-    def _upload(self, state, rows_needed, t_now, protect=None):
+    def _upload(self, state, rows_needed, t_now, protect=None,
+                max_new=None):
         """Host->device: install `rows_needed` (list of global rows)
         into cache slots, evicting highest-Q residents outside
         `protect` (default: outside `rows_needed`).  Rows that cannot
         be installed once every evictable slot is gone are dropped —
-        callers order `rows_needed` required-first."""
-        (cache, slotof, rowof, epoch, *rest) = state
+        callers order `rows_needed` required-first.  `max_new` bounds
+        the installs per call (tunnel-transfer budget: a candidate-set
+        turnover of ~5k rows at n=49k measured as a 15 s upload)."""
+        (cache, slotof, rowof, *rest) = state
         rowof_h = np.asarray(rowof)
         slotof_h = np.asarray(slotof)
-        Q_h = np.asarray(state[11])
+        Q_h = np.asarray(state[4])
         rows_needed = list(dict.fromkeys(rows_needed))
         want = [r for r in rows_needed
                 if r < self.m and slotof_h[r] < 0]
-        # also refresh stale residents among the needed rows
-        epoch_h = np.asarray(epoch)
-        floor_h = int(np.asarray(state[9]))
-        stale = [r for r in rows_needed
-                 if r < self.m and slotof_h[r] >= 0
-                 and epoch_h[slotof_h[r]] <= floor_h]
-        U = len(want) + len(stale)
-        if U == 0:
+        if not want:
             return state, 0
-        # slots: stale rows keep their slot; new rows take free slots,
-        # then evict the highest-Q resident rows
-        slots = [int(slotof_h[r]) for r in stale]
+        # new rows take free slots, then evict the highest-Q residents
+        slots = []
         free = np.nonzero(rowof_h < 0)[0]
         fi = 0
-        # eviction must spare every row touched by this upload (a
-        # stale row reuses ITS OWN slot — evicting that slot for
-        # another row double-assigns it) plus the caller's protect set
-        needed_set = set(rows_needed) | set(protect or ())
+        if max_new is not None and len(want) > max_new:
+            want = want[:max_new]
+        # eviction must spare the caller's protect set plus every row
+        # installed by this upload.  NOT all of rows_needed: when the
+        # needed list rivals X, protecting every listed row leaves
+        # nothing evictable and a missing row can never install
+        # (measured livelock at n=49k, X=12288)
+        needed_set = (set(protect) if protect is not None
+                      else set(rows_needed))
+        needed_set.update(want)
         evict_order = None
-        rows = list(stale)
+        rows = []
         for r in want:
             if fi < len(free):
                 slots.append(int(free[fi]))
@@ -693,20 +630,29 @@ class StreamedDNJ:
         U = len(rows)
         if U == 0:
             return state, 0
-        up = np.zeros((U, self.W), np.uint32)
+        # bucket the batch size: every distinct (U, W) shape is a
+        # fresh _apply_uploads XLA compile (~13 s through the remote
+        # helper — measured dominating the 200k run's abort cost);
+        # padded lanes carry row=-1 / slot=X and are dropped on device
+        Ub = 8
+        while Ub < U:
+            Ub *= 4
+        up = np.zeros((Ub, self.W), np.uint32)
         for k, r in enumerate(rows):
             up[k] = self.Dq[r].view(np.uint32)
-        cache, slotof, rowof, epoch = _apply_uploads(
-            cache, slotof, rowof, epoch, jnp.asarray(up),
-            jnp.asarray(np.array(slots, np.int32)),
-            jnp.asarray(np.array(rows, np.int32)),
-            jnp.int32(t_now), X=self.X)
+        slots_a = np.full(Ub, self.X, np.int32)
+        slots_a[:U] = slots
+        rows_a = np.full(Ub, -1, np.int32)
+        rows_a[:U] = rows
+        cache, slotof, rowof = _apply_uploads(
+            cache, slotof, rowof, jnp.asarray(up),
+            jnp.asarray(slots_a), jnp.asarray(rows_a), X=self.X)
         self.uploaded_rows += U
-        return (cache, slotof, rowof, epoch, *rest), U
+        return (cache, slotof, rowof, *rest), U
 
     def _policy_rows(self, state, t_now):
         """Bottom-Q active rows + the popArrange horizon."""
-        Q_h = np.asarray(state[11])
+        Q_h = np.asarray(state[4])
         m_t = self.m - t_now
         act = np.arange(1, m_t)
         order = act[np.argsort(Q_h[1:m_t], kind="stable")]
@@ -722,18 +668,10 @@ class StreamedDNJ:
         if self.verbose:
             print(f"host init {_time.perf_counter() - t0:.1f}s",
                   flush=True)
-        NEG = np.int32(-(2 ** 31) + 1)
         state = (
             jnp.zeros((X, W), jnp.uint32),                  # cache
             jnp.full(n, -1, jnp.int32),                     # slotof
             jnp.full(X, -1, jnp.int32),                     # rowof
-            jnp.full(X, NEG, jnp.int32),                    # epoch
-            jnp.zeros((F, W), jnp.uint32),                  # ring_vals
-            jnp.full(F, -1, jnp.int32),                     # ring_col
-            jnp.full(F, -1, jnp.int32),                     # ring_t
-            jnp.full(n, -1, jnp.int32),                     # ring_index
-            jnp.int32(0),                                   # ring_next
-            jnp.int32(-1),                                  # ring_floor
             jnp.asarray(sD2), jnp.asarray(Q), jnp.asarray(P),
             jnp.int32(seed),
             jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
@@ -753,7 +691,7 @@ class StreamedDNJ:
 
         def seg_call(state, s0, s1):
             out = _streamed_segment(*state, jnp.int32(s1), mj, n=n,
-                                    X=X, F=F, kbatch=self.kbatch)
+                                    X=X, kbatch=self.kbatch)
             return out
 
         done = 0
@@ -764,13 +702,13 @@ class StreamedDNJ:
             k = min(seg, total - done)
             tseg = _time.perf_counter()
             state = seg_call(state, done, done + k)
-            t_now = int(np.asarray(state[20]))
-            ok = bool(np.asarray(state[21]))
+            t_now = int(np.asarray(state[13]))
+            ok = bool(np.asarray(state[14]))
             dt = _time.perf_counter() - tseg
             # host replay of the newly completed joins
             if t_now > self.replayed_to:
-                I_h = np.asarray(state[14][self.replayed_to:t_now])
-                J_h = np.asarray(state[15][self.replayed_to:t_now])
+                I_h = np.asarray(state[7][self.replayed_to:t_now])
+                J_h = np.asarray(state[8][self.replayed_to:t_now])
                 _host_replay_shift(self.Dq, I_h, J_h,
                                    self.replayed_to, t_now, m)
                 self.replayed_to = t_now
@@ -788,16 +726,42 @@ class StreamedDNJ:
                             "with a larger X")
                 else:
                     self._zero_streak = 0
-                miss = np.asarray(state[22])
+                miss = np.asarray(state[15])
                 rows = [int(r) for r in miss if r >= 0]
-                state = state[:21] + (jnp.bool_(True), state[22])
+                state = state[:14] + (jnp.bool_(True), state[15])
                 req = rows + self._needed_rows(state, done)
                 state, u = self._upload(
                     state, req + self._policy_rows(state, done), done,
-                    protect=req)
+                    protect=req, max_new=2048)
                 if self.verbose:
+                    # classify the misses: pick rows land in miss[0:2]
+                    # (post-check), everything else is pre-check
+                    # (seed / P[seed] / last) or a scan-batch gather
+                    m_t = self.m - done
+                    if u == 0 and rows:
+                        sl = np.asarray(state[1])
+                        ro = np.asarray(state[2])
+                        for r in rows[:4]:
+                            s_ = int(sl[r])
+                            print(f"    debug r={r} slotof={s_} "
+                                  f"rowof[s]="
+                                  f"{int(ro[s_]) if 0 <= s_ < self.X else '?'}",
+                                  flush=True)
+                    seed_h = int(np.asarray(state[6]))
+                    Q_h = np.asarray(state[4])
+                    P_h = np.asarray(state[5])
+                    tags = []
+                    for r in rows[:6]:
+                        tag = ("last" if r == m_t - 1 else
+                               "seed" if r == seed_h else
+                               "P[seed]" if seed_h and r == int(
+                                   P_h[seed_h]) else
+                               "scan")
+                        rank = int((Q_h[1:m_t] < Q_h[r]).sum())
+                        tags.append(f"{r}:{tag}(q#{rank})")
                     print(f"  abort@{done}: {len(rows)} missing, "
-                          f"uploaded {u}", flush=True)
+                          f"uploaded {u}  [{' '.join(tags)}]",
+                          flush=True)
             if prog > 0 and done < total:
                 seg = int(max(64, min(131072,
                                       seg * target_s / max(dt, 1e-3))))
@@ -805,12 +769,12 @@ class StreamedDNJ:
                 print(f"  seg {done}/{total} ({prog} joins, "
                       f"{dt:.1f}s, {prog / max(dt, 1e-9):,.0f}/s)",
                       flush=True)
-        I = np.asarray(state[14])
-        J = np.asarray(state[15])
-        DIJ2 = np.asarray(state[16])
-        SDI2 = np.asarray(state[17])
-        SDJ2 = np.asarray(state[18])
-        self.stats = np.asarray(state[19])
+        I = np.asarray(state[7])
+        J = np.asarray(state[8])
+        DIJ2 = np.asarray(state[9])
+        SDI2 = np.asarray(state[10])
+        SDJ2 = np.asarray(state[11])
+        self.stats = np.asarray(state[12])
         d_last2 = 2 * int(self.Dq[1, 0])
         return I, J, DIJ2, SDI2, SDJ2, d_last2
 
