@@ -46,6 +46,9 @@ def main():
         s((), i32),              # t
         s((), jnp.bool_),        # ok
         s((se.MMAX,), i32),      # miss
+        s((2048, W), u32),       # up_words (a mid-bucket batch)
+        s((2048,), i32),         # up_slots
+        s((2048,), i32),         # up_rows
     )
     lowered = se._streamed_segment.lower(
         *args, jnp.int32(0), n, n=n, X=X, kbatch=kbatch)

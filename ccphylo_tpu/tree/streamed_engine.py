@@ -398,9 +398,33 @@ _STATE_KEYS = ("cache", "slotof", "rowof", "sD2", "Q", "P", "seed",
                    static_argnames=("n", "X", "kbatch"),
                    donate_argnums=tuple(range(16)))
 def _streamed_segment(cache, slotof, rowof, sD2, Q, P, seed, I, J,
-                      DIJ2, SDI2, SDJ2, stats, t, ok, miss, t1, m,
+                      DIJ2, SDI2, SDJ2, stats, t, ok, miss,
+                      up_words, up_slots, up_rows, t1, m,
                       n, X, kbatch):
+    """Apply the pending upload batch, then run joins until t1 or the
+    first abort.  Folding the upload into the segment program makes an
+    abort round-trip ONE dispatch (upload + redispatch measured as two
+    serialized ~27 ms dispatches before); the batch shapes are
+    host-bucketed (8 * 4^k) so only a few variants ever compile."""
     W = cache.shape[1]
+    n_ = slotof.shape[0]
+    valid = up_rows >= 0
+    # padded lanes (up_rows == -1) carry slot X: clamp the rowof
+    # gather and mask its result so a padded lane can never read slot
+    # X-1's tenant and unbind a legitimate resident
+    old_rows = jnp.where(valid,
+                         rowof[jnp.minimum(up_slots, X - 1)], -1)
+    # drop-mode out-of-range targets for the no-op lanes: an in-range
+    # dummy index (e.g. 0) races nondeterministically with a genuine
+    # eviction of that row in the same scatter
+    slotof = slotof.at[jnp.where(old_rows >= 0, old_rows, n_)].set(
+        -1, mode="drop")
+    sw = jnp.where(valid, up_slots, X)
+    cache = cache.at[sw].set(up_words, mode="drop")
+    rowof = rowof.at[sw].set(up_rows, mode="drop")
+    slotof = slotof.at[jnp.where(valid, up_rows, n_)].set(
+        jnp.where(valid, up_slots, -1), mode="drop")
+
     one_join = _mk_one_join_streamed(n, W, X, m, kbatch)
     c0 = dict(zip(_STATE_KEYS, (cache, slotof, rowof, sD2, Q, P, seed,
                                 I, J, DIJ2, SDI2, SDJ2, stats, t,
@@ -411,32 +435,6 @@ def _streamed_segment(cache, slotof, rowof, sD2, Q, P, seed, I, J,
 
     c = jax.lax.while_loop(cond, one_join, c0)
     return tuple(c[k] for k in _STATE_KEYS)
-
-
-@functools.partial(jax.jit, static_argnames=("X",),
-                   donate_argnums=(0, 1, 2))
-def _apply_uploads(cache, slotof, rowof, up_words, up_slots,
-                   up_rows, X):
-    """Install uploaded rows: evict the slots' previous tenants, bind
-    the new rows."""
-    n = slotof.shape[0]
-    valid = up_rows >= 0
-    # padded lanes (up_rows == -1, bucketed batch sizes) carry slot X:
-    # clamp the rowof gather and mask its result so a padded lane can
-    # never read slot X-1's tenant and unbind a legitimate resident
-    old_rows = jnp.where(valid,
-                         rowof[jnp.minimum(up_slots, X - 1)], -1)
-    # drop-mode out-of-range targets for the no-op lanes: an in-range
-    # dummy index (e.g. 0) races nondeterministically with a genuine
-    # eviction of that row in the same scatter
-    slotof = slotof.at[jnp.where(old_rows >= 0, old_rows, n)].set(
-        -1, mode="drop")
-    sw = jnp.where(valid, up_slots, X)
-    cache = cache.at[sw].set(up_words, mode="drop")
-    rowof = rowof.at[sw].set(up_rows, mode="drop")
-    slotof = slotof.at[jnp.where(valid, up_rows, n)].set(
-        jnp.where(valid, up_slots, -1), mode="drop")
-    return cache, slotof, rowof
 
 
 # ---------------------------------------------------------------------
@@ -545,57 +543,79 @@ class StreamedDNJ:
         self.uploaded_rows = 0
         self.aborts = 0
         self.replayed_to = 0
+        # host mirrors of the device residency maps: _plan_upload and the
+        # replay loop keep them exact, so the abort path never fetches
+        # slotof/rowof over the tunnel (each device->host read costs a
+        # round trip; 6+ of them per abort dominated the r5 n=49k run)
+        self.slotof_h = np.full(n, -1, np.int64)
+        self.rowof_h = np.full(X, -1, np.int64)
+        # cached Q snapshot: POLICY ONLY (eviction order, prefetch
+        # slabs) — staleness cannot affect correctness, the device's
+        # own miss reports are the authoritative working set
+        self.Qh = np.zeros(n, np.int32)
+        # recently-missed rows (eviction-protected): uploading ONLY the
+        # current miss report can evict rows the redone scan's earlier
+        # passes still need — measured ping-pong livelock at X=384
+        self._recent = []
 
     # -- residency ----------------------------------------------------
-    def _needed_rows(self, state, t_now):
-        """The rows the next join can touch, computed host-side from
-        the device caches: the scan candidate set {r: Q[r] < Q[seed]},
-        the seed pair, and the popArrange horizon.  Everything here is
-        protected from eviction; anything unfetchable is uploaded."""
-        n, m = self.n, self.m
-        Q_h = np.asarray(state[4])
-        P_h = np.asarray(state[5])
-        seed = int(np.asarray(state[6]))
+    def _policy_refresh(self, state, t_now):
+        """Fetch a fresh Q snapshot (one transfer) and return the
+        speculative residency set: the scan candidate prefix for the
+        next join, a bottom-Q slab (late-pass candidates + likely
+        seeds), and the popArrange horizon."""
+        Q_h, P_h, seed = jax.device_get(
+            (state[4], state[5], state[6]))
+        self.Qh = Q_h
+        seed = int(seed)
         big = np.int32(np.iinfo(np.int32).max)
-        m_t = m - t_now
-        idx = np.arange(n)
+        m_t = self.m - t_now
+        idx = np.arange(self.n)
         seed_ok = (seed != 0) and (Q_h[seed] != big)
         minv0 = Q_h[seed] if seed_ok else big
-        rows = [m_t - 1]  # popArrange source
+        rows = [m_t - 1]
         if seed_ok:
             rows += [seed, int(P_h[seed])]
-        # the scan gathers EVERY current candidate batch-by-batch in
-        # descending index order (cummin gating only masks the reval,
-        # not the gather), so the working set of one join is the WHOLE
-        # set {Q < minv0} — protect all of it when it fits (measured at
-        # n=49k: ~5k candidates/join, and a 1024-row prefix caused 3-5
-        # aborts per join walking the set piecewise).  Descending index
-        # order keeps the scan's first batches at the front so the
-        # required-first truncation in _upload degrades gracefully.
+        # candidate prefix, CAPPED: the full {Q < minv0} superset can
+        # rival X and its transfer (~580 MB spikes at n=49k) costs more
+        # than the per-miss aborts it would prevent now that a miss is
+        # a single fused dispatch
         cand = np.nonzero((idx >= 1) & (idx < m_t)
                           & (Q_h < minv0))[0]
-        cap = max(self.X - self.X // 8 - len(rows), 0)
+        cap = min(max(self.X // 8 - len(rows), 0), 2048)
         rows.extend(int(r) for r in cand[::-1][:cap])
+        act = np.arange(1, m_t)
+        order = act[np.argsort(Q_h[1:m_t], kind="stable")]
+        slab = order[:self.prefetch]
+        rows.extend(int(r) for r in slab)
+        # the partners of the bottom-Q slab: the next joins' seeds come
+        # from the slab and each join pre-checks (seed, P[seed]) — the
+        # partner is unpredictable from Q alone but IS P_h[seed], and P
+        # only changes via cache repair, so the refresh-time snapshot
+        # covers most of the window
+        rows.extend(int(r) for r in np.unique(P_h[slab]) if r >= 1)
+        h0 = max(m_t - self.horizon, 0)
+        rows.extend(range(h0, m_t))
         return rows
 
-    def _upload(self, state, rows_needed, t_now, protect=None,
-                max_new=None):
-        """Host->device: install `rows_needed` (list of global rows)
-        into cache slots, evicting highest-Q residents outside
-        `protect` (default: outside `rows_needed`).  Rows that cannot
-        be installed once every evictable slot is gone are dropped —
+    def _plan_upload(self, rows_needed, protect=None, max_new=None):
+        """Plan installing `rows_needed` (list of global rows) into
+        cache slots, evicting highest-Q residents outside `protect`
+        (default: outside `rows_needed`).  Rows that cannot be
+        installed once every evictable slot is gone are dropped —
         callers order `rows_needed` required-first.  `max_new` bounds
         the installs per call (tunnel-transfer budget: a candidate-set
-        turnover of ~5k rows at n=49k measured as a 15 s upload)."""
-        (cache, slotof, rowof, *rest) = state
-        rowof_h = np.asarray(rowof)
-        slotof_h = np.asarray(slotof)
-        Q_h = np.asarray(state[4])
+        turnover of ~5k rows at n=49k measured as a 15 s upload).
+        Residency comes from the host mirrors — no device reads.
+        Returns the (up_words, up_slots, up_rows) batch for the next
+        segment dispatch, and the install count."""
+        rowof_h = self.rowof_h
+        slotof_h = self.slotof_h
         rows_needed = list(dict.fromkeys(rows_needed))
         want = [r for r in rows_needed
                 if r < self.m and slotof_h[r] < 0]
         if not want:
-            return state, 0
+            return self._empty_up(), 0
         # new rows take free slots, then evict the highest-Q residents
         slots = []
         free = np.nonzero(rowof_h < 0)[0]
@@ -622,16 +642,24 @@ class StreamedDNJ:
                     keep = np.array([rr for rr in res_rows
                                      if rr not in needed_set],
                                     dtype=np.int64)
-                    evict_order = keep[np.argsort(Q_h[keep])].tolist()
+                    evict_order = keep[np.argsort(
+                        self.Qh[keep])].tolist()
                 if not evict_order:
                     break  # cache full of needed rows; install what fits
                 slots.append(int(slotof_h[evict_order.pop()]))
             rows.append(r)
         U = len(rows)
         if U == 0:
-            return state, 0
+            return self._empty_up(), 0
+        # mirror the installs/evictions
+        for r, s_ in zip(rows, slots):
+            old = rowof_h[s_]
+            if old >= 0:
+                slotof_h[old] = -1
+            rowof_h[s_] = r
+            slotof_h[r] = s_
         # bucket the batch size: every distinct (U, W) shape is a
-        # fresh _apply_uploads XLA compile (~13 s through the remote
+        # fresh segment-program compile (~13 s through the remote
         # helper — measured dominating the 200k run's abort cost);
         # padded lanes carry row=-1 / slot=X and are dropped on device
         Ub = 8
@@ -644,22 +672,15 @@ class StreamedDNJ:
         slots_a[:U] = slots
         rows_a = np.full(Ub, -1, np.int32)
         rows_a[:U] = rows
-        cache, slotof, rowof = _apply_uploads(
-            cache, slotof, rowof, jnp.asarray(up),
-            jnp.asarray(slots_a), jnp.asarray(rows_a), X=self.X)
         self.uploaded_rows += U
-        return (cache, slotof, rowof, *rest), U
+        return (jnp.asarray(up), jnp.asarray(slots_a),
+                jnp.asarray(rows_a)), U
 
-    def _policy_rows(self, state, t_now):
-        """Bottom-Q active rows + the popArrange horizon."""
-        Q_h = np.asarray(state[4])
-        m_t = self.m - t_now
-        act = np.arange(1, m_t)
-        order = act[np.argsort(Q_h[1:m_t], kind="stable")]
-        rows = list(order[:self.prefetch])
-        h0 = max(m_t - self.horizon, 0)
-        rows.extend(range(h0, m_t))
-        return rows
+    def _empty_up(self):
+        """A no-op upload batch (all lanes dropped on device)."""
+        return (jnp.zeros((8, self.W), jnp.uint32),
+                jnp.full(8, self.X, jnp.int32),
+                jnp.full(8, -1, jnp.int32))
 
     def run(self):
         n, m, X, F, W = self.n, self.m, self.X, self.F, self.W
@@ -681,17 +702,15 @@ class StreamedDNJ:
             jnp.int32(0), jnp.bool_(True),                  # t, ok
             jnp.full(MMAX, -1, jnp.int32),                  # miss
         )
-        req0 = self._needed_rows(state, 0)
-        state, _ = self._upload(
-            state, req0 + self._policy_rows(state, 0), 0,
-            protect=req0)
+        req0 = self._policy_refresh(state, 0)
+        up3, _ = self._plan_upload(req0, protect=req0[:3])
 
         total = max(m - 2, 0)
         mj = jnp.int32(m)
 
-        def seg_call(state, s0, s1):
-            out = _streamed_segment(*state, jnp.int32(s1), mj, n=n,
-                                    X=X, kbatch=self.kbatch)
+        def seg_call(state, up3, s1):
+            out = _streamed_segment(*state, *up3, jnp.int32(s1), mj,
+                                    n=n, X=X, kbatch=self.kbatch)
             return out
 
         done = 0
@@ -701,66 +720,78 @@ class StreamedDNJ:
         while done < total:
             k = min(seg, total - done)
             tseg = _time.perf_counter()
-            state = seg_call(state, done, done + k)
-            t_now = int(np.asarray(state[13]))
-            ok = bool(np.asarray(state[14]))
+            state = seg_call(state, up3, done + k)
+            up3 = self._empty_up()
+            # ONE device->host transfer for the loop scalars + report
+            t_now, ok, miss = (
+                int(x) if x.ndim == 0 else x for x in jax.device_get(
+                    (state[13], state[14], state[15])))
+            ok = bool(ok)
             dt = _time.perf_counter() - tseg
-            # host replay of the newly completed joins
+            # host replay of the newly completed joins (also mirrors
+            # the popArrange slot frees the device performed)
             if t_now > self.replayed_to:
-                I_h = np.asarray(state[7][self.replayed_to:t_now])
-                J_h = np.asarray(state[8][self.replayed_to:t_now])
+                I_h, J_h = jax.device_get(
+                    (state[7][self.replayed_to:t_now],
+                     state[8][self.replayed_to:t_now]))
                 _host_replay_shift(self.Dq, I_h, J_h,
                                    self.replayed_to, t_now, m)
+                for kk in range(t_now - self.replayed_to):
+                    tt = self.replayed_to + kk
+                    i_, j_ = int(I_h[kk]), int(J_h[kk])
+                    last_ = m - tt - 1
+                    if (i_ or j_) and i_ != last_:
+                        s_ = self.slotof_h[last_]
+                        if s_ >= 0:
+                            self.rowof_h[s_] = -1
+                        self.slotof_h[last_] = -1
                 self.replayed_to = t_now
             prog = t_now - done
             done = t_now
             if not ok:
                 self.aborts += 1
+                rows = [int(r) for r in miss if r >= 0]
+                state = state[:14] + (jnp.bool_(True), state[15])
+                # the device's miss report is the authoritative working
+                # set: upload exactly those rows (tiny transfer), plus
+                # a periodic speculative refresh (full Q fetch + slabs)
+                # every 16 aborts — per-abort full refreshes measured
+                # 2-7 s each of mostly-unvisited candidate uploads
+                req = list(rows)
+                if self.aborts % 16 == 1:
+                    req += self._policy_refresh(state, done)
+                win = min(4 * self.kbatch, self.X // 2)
+                self._recent = (self._recent + rows)[-win:]
+                # protect the next popArrange sources: zombie/idle rows
+                # carry Q=big so highest-Q-first eviction would target
+                # exactly the rows every upcoming join must touch
+                m_t = self.m - done
+                hz = list(range(max(m_t - min(512, self.X // 8), 0),
+                                m_t))
+                up3, u = self._plan_upload(
+                    req, protect=rows + self._recent + hz,
+                    max_new=4096)
                 if prog == 0:
+                    # u == 0: nothing progressed and nothing could be
+                    # installed — the working set genuinely exceeds
+                    # the cache.  u > 0 but a long zero-progress
+                    # streak: the installs themselves ping-pong the
+                    # set (same conclusion, slower to prove)
                     self._zero_streak = getattr(self, "_zero_streak",
                                                 0) + 1
-                    if self._zero_streak > 4:
+                    if (self._zero_streak > 4 and u == 0) \
+                            or self._zero_streak > 256:
                         raise RuntimeError(
                             "streamed DNJ livelock: candidate set "
                             f"exceeds the cache (X={self.X}); rerun "
                             "with a larger X")
                 else:
                     self._zero_streak = 0
-                miss = np.asarray(state[15])
-                rows = [int(r) for r in miss if r >= 0]
-                state = state[:14] + (jnp.bool_(True), state[15])
-                req = rows + self._needed_rows(state, done)
-                state, u = self._upload(
-                    state, req + self._policy_rows(state, done), done,
-                    protect=req, max_new=2048)
                 if self.verbose:
-                    # classify the misses: pick rows land in miss[0:2]
-                    # (post-check), everything else is pre-check
-                    # (seed / P[seed] / last) or a scan-batch gather
                     m_t = self.m - done
-                    if u == 0 and rows:
-                        sl = np.asarray(state[1])
-                        ro = np.asarray(state[2])
-                        for r in rows[:4]:
-                            s_ = int(sl[r])
-                            print(f"    debug r={r} slotof={s_} "
-                                  f"rowof[s]="
-                                  f"{int(ro[s_]) if 0 <= s_ < self.X else '?'}",
-                                  flush=True)
-                    seed_h = int(np.asarray(state[6]))
-                    Q_h = np.asarray(state[4])
-                    P_h = np.asarray(state[5])
-                    tags = []
-                    for r in rows[:6]:
-                        tag = ("last" if r == m_t - 1 else
-                               "seed" if r == seed_h else
-                               "P[seed]" if seed_h and r == int(
-                                   P_h[seed_h]) else
-                               "scan")
-                        rank = int((Q_h[1:m_t] < Q_h[r]).sum())
-                        tags.append(f"{r}:{tag}(q#{rank})")
-                    print(f"  abort@{done}: {len(rows)} missing, "
-                          f"uploaded {u}  [{' '.join(tags)}]",
+                    tags = ", ".join(str(r) for r in rows[:6])
+                    print(f"  abort@{done}: {len(rows)} missing "
+                          f"(last={m_t - 1}), uploaded {u}  [{tags}]",
                           flush=True)
             if prog > 0 and done < total:
                 seg = int(max(64, min(131072,
