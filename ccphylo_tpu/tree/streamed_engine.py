@@ -722,21 +722,26 @@ class StreamedDNJ:
             tseg = _time.perf_counter()
             state = seg_call(state, up3, done + k)
             up3 = self._empty_up()
-            # ONE device->host transfer for the loop scalars + report
-            t_now, ok, miss = (
+            # ONE device->host round trip per segment: loop scalars,
+            # miss report, and the full I/J record arrays (fixed
+            # shapes — a t-bounded slice would stamp out a fresh
+            # device program per segment, ~0.3 s each through the
+            # remote compile helper)
+            t_now, ok, miss, I_w, J_w = (
                 int(x) if x.ndim == 0 else x for x in jax.device_get(
-                    (state[13], state[14], state[15])))
+                    (state[13], state[14], state[15],
+                     state[7], state[8])))
             ok = bool(ok)
             dt = _time.perf_counter() - tseg
             # host replay of the newly completed joins (also mirrors
             # the popArrange slot frees the device performed)
             if t_now > self.replayed_to:
-                I_h, J_h = jax.device_get(
-                    (state[7][self.replayed_to:t_now],
-                     state[8][self.replayed_to:t_now]))
+                nrep = t_now - self.replayed_to
+                I_h = I_w[self.replayed_to:t_now]
+                J_h = J_w[self.replayed_to:t_now]
                 _host_replay_shift(self.Dq, I_h, J_h,
                                    self.replayed_to, t_now, m)
-                for kk in range(t_now - self.replayed_to):
+                for kk in range(nrep):
                     tt = self.replayed_to + kk
                     i_, j_ = int(I_h[kk]), int(J_h[kk])
                     last_ = m - tt - 1
@@ -754,11 +759,11 @@ class StreamedDNJ:
                 state = state[:14] + (jnp.bool_(True), state[15])
                 # the device's miss report is the authoritative working
                 # set: upload exactly those rows (tiny transfer), plus
-                # a periodic speculative refresh (full Q fetch + slabs)
-                # every 16 aborts — per-abort full refreshes measured
-                # 2-7 s each of mostly-unvisited candidate uploads
+                # a THROTTLED speculative refresh (full Q fetch +
+                # slabs): each refresh is a multi-hundred-MB transfer
+                # (~2-3 s), so it must amortize over many aborts
                 req = list(rows)
-                if self.aborts % 16 == 1:
+                if self.aborts % 64 == 1:
                     req += self._policy_refresh(state, done)
                 win = min(4 * self.kbatch, self.X // 2)
                 self._recent = (self._recent + rows)[-win:]
