@@ -26,6 +26,7 @@ def main():
     X = int(sys.argv[2]) if len(sys.argv) > 2 else 49152
     F = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
     kbatch = int(sys.argv[4]) if len(sys.argv) > 4 else 128
+    ub = int(sys.argv[5]) if len(sys.argv) > 5 else 2048
     W = n // 4
     s = jax.ShapeDtypeStruct
     u32, i32 = jnp.uint32, jnp.int32
@@ -46,9 +47,9 @@ def main():
         s((), i32),              # t
         s((), jnp.bool_),        # ok
         s((se.MMAX,), i32),      # miss
-        s((2048, W), u32),       # up_words (a mid-bucket batch)
-        s((2048,), i32),         # up_slots
-        s((2048,), i32),         # up_rows
+        s((ub, W), u32),         # up_words (bucketed batch)
+        s((ub,), i32),           # up_slots
+        s((ub,), i32),           # up_rows
     )
     lowered = se._streamed_segment.lower(
         *args, jnp.int32(0), n, n=n, X=X, kbatch=kbatch)

@@ -557,6 +557,11 @@ class StreamedDNJ:
         # current miss report can evict rows the redone scan's earlier
         # passes still need — measured ping-pong livelock at X=384
         self._recent = []
+        # P mirror (repair-updated; resynced at policy refreshes) and
+        # the speculative push queue fed by _replay_mirror
+        self.Ph = np.zeros(n, np.int32)
+        self.sD2h = None
+        self._spec = []
 
     # -- residency ----------------------------------------------------
     def _policy_refresh(self, state, t_now):
@@ -566,7 +571,8 @@ class StreamedDNJ:
         seeds), and the popArrange horizon."""
         Q_h, P_h, seed = jax.device_get(
             (state[4], state[5], state[6]))
-        self.Qh = Q_h
+        self.Qh = Q_h.copy()
+        self.Ph = P_h.copy()
         seed = int(seed)
         big = np.int32(np.iinfo(np.int32).max)
         m_t = self.m - t_now
@@ -689,6 +695,10 @@ class StreamedDNJ:
         if self.verbose:
             print(f"host init {_time.perf_counter() - t0:.1f}s",
                   flush=True)
+        self.sD2h = sD2.copy()
+        self.Qh = Q.copy()
+        self.Ph = P.copy()
+        self._idx = np.arange(n)
         state = (
             jnp.zeros((X, W), jnp.uint32),                  # cache
             jnp.full(n, -1, jnp.int32),                     # slotof
@@ -733,19 +743,27 @@ class StreamedDNJ:
                      state[7], state[8])))
             ok = bool(ok)
             dt = _time.perf_counter() - tseg
-            # host replay of the newly completed joins (also mirrors
-            # the popArrange slot frees the device performed)
+            # host replay of the newly completed joins: matrix +
+            # sD2/Q/P cache mirrors + speculative set (repair-lowered
+            # rows = the next joins' scan candidates and seeds), and
+            # the popArrange slot frees the device performed
             if t_now > self.replayed_to:
                 nrep = t_now - self.replayed_to
                 I_h = I_w[self.replayed_to:t_now]
                 J_h = J_w[self.replayed_to:t_now]
-                _host_replay_shift(self.Dq, I_h, J_h,
-                                   self.replayed_to, t_now, m)
+                bigi = np.int32(np.iinfo(np.int32).max)
+                idxv = self._idx
                 for kk in range(nrep):
                     tt = self.replayed_to + kk
                     i_, j_ = int(I_h[kk]), int(J_h[kk])
+                    if i_ == 0 and j_ == 0:
+                        continue
+                    hot = _replay_join_mirrored(
+                        self.Dq, self.sD2h, self.Qh, self.Ph,
+                        i_, j_, m - tt, idxv, bigi)
+                    self._spec.extend(hot)
                     last_ = m - tt - 1
-                    if (i_ or j_) and i_ != last_:
+                    if i_ != last_:
                         s_ = self.slotof_h[last_]
                         if s_ >= 0:
                             self.rowof_h[s_] = -1
@@ -763,6 +781,10 @@ class StreamedDNJ:
                 # slabs): each refresh is a multi-hundred-MB transfer
                 # (~2-3 s), so it must amortize over many aborts
                 req = list(rows)
+                spec = [r for r in dict.fromkeys(self._spec)
+                        if self.slotof_h[r] < 0]
+                self._spec = []
+                req += spec[:1024]
                 if self.aborts % 64 == 1:
                     req += self._policy_refresh(state, done)
                 win = min(4 * self.kbatch, self.X // 2)
@@ -798,6 +820,19 @@ class StreamedDNJ:
                     print(f"  abort@{done}: {len(rows)} missing "
                           f"(last={m_t - 1}), uploaded {u}  [{tags}]",
                           flush=True)
+            elif self._spec and done < total:
+                # push the repair-lowered rows speculatively on the
+                # next dispatch even without an abort
+                spec = [r for r in dict.fromkeys(self._spec)
+                        if self.slotof_h[r] < 0]
+                self._spec = []
+                if spec:
+                    m_t = self.m - done
+                    hz = list(range(
+                        max(m_t - min(512, self.X // 8), 0), m_t))
+                    up3, _ = self._plan_upload(
+                        spec[:1024], protect=self._recent + hz,
+                        max_new=1024)
             if prog > 0 and done < total:
                 seg = int(max(64, min(131072,
                                       seg * target_s / max(dt, 1e-3))))
@@ -813,6 +848,64 @@ class StreamedDNJ:
         self.stats = np.asarray(state[12])
         d_last2 = 2 * int(self.Dq[1, 0])
         return I, J, DIJ2, SDI2, SDJ2, d_last2
+
+
+def _replay_join_mirrored(Dq, sD2, Q, P, i, j, m_t, idx, big):
+    """Replay ONE join on the host matrix and mirror the device
+    do_join's exact int32 cache updates in the device's order: sD2
+    deltas from the pre-join rows, the matrix row/column writes, the
+    fresh row-j / moved-row-i minima, and the column repair tests.
+    Returns the rows whose bound the repairs LOWERED — the next joins'
+    scan candidates/seeds, i.e. the speculative upload set.  Q drifts
+    low vs the device (scan revalidations, which only raise bounds,
+    are not mirrored) — policy-only, resynced at refreshes."""
+    with np.errstate(over="ignore"):
+        co = np.int32(2 * (m_t - 3))
+        last = m_t - 1
+        ci = Dq[i].astype(np.int32)
+        cj = Dq[j].astype(np.int32)
+        cij = np.int32(ci[j])
+        valid_k = (idx < m_t) & (idx != i) & (idx != j)
+        d_new = np.maximum(ci + cj - cij, 0).astype(np.int32)
+        sD2 -= np.where(valid_k,
+                        (2 * ci + 2 * cj - d_new).astype(np.int32), 0)
+        sD2[j] = np.where(valid_k, d_new, 0).sum(dtype=np.int32)
+        q_new = np.minimum((2 * d_new + 1) >> 2, 255).astype(np.uint8)
+        rowj8 = np.where(valid_k, q_new, Dq[j])
+        Dq[j, :] = rowj8
+        Dq[:, j] = rowj8
+        rowj = rowj8.astype(np.int32)
+        qj = co * rowj - sD2[j] - sD2
+        qj = np.where(idx < j, qj, big)
+        Qj = qj.min()
+        Pj = int(np.where(qj == Qj, idx, -1).max())
+        Q[j] = Qj
+        P[j] = 0 if Qj == big else Pj
+        qcol = co * rowj - sD2[j] - sD2
+        upd = valid_k & (idx > j) & (qcol <= Q)
+        Q[upd] = qcol[upd]
+        P[upd] = j
+        hot = [int(r) for r in np.nonzero(upd)[0]]
+        if i != last:
+            moved = Dq[last].copy()
+            moved[i] = 0
+            Dq[i, :] = moved
+            Dq[:, i] = moved
+            sD2[i] = sD2[last]
+            rowi = moved.astype(np.int32)
+            qi = co * rowi - sD2[i] - sD2
+            qi = np.where(idx < i, qi, big)
+            Qi = qi.min()
+            Pi = int(np.where(qi == Qi, idx, -1).max())
+            Q[i] = Qi
+            P[i] = 0 if Qi == big else Pi
+            qc = co * rowi - sD2[i] - sD2
+            u2 = (idx > i) & (idx < last) & (qc <= Q)
+            Q[u2] = qc[u2]
+            P[u2] = i
+            hot += [int(r) for r in np.nonzero(u2)[0]]
+        Q[last] = big
+    return hot
 
 
 def _host_replay_shift(Dq, I_h, J_h, off, t1, m):
