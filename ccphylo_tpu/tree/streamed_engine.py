@@ -115,18 +115,28 @@ def _mk_one_join_streamed(n, W, X, m, kbatch):
 
     def col_write(c, col, vals_bytes, on):
         """Write column `col` = `vals_bytes` (n u32 byte values) into
-        every resident slot: one word-column read-modify-write, X*4
-        bytes.  Empty slots receive garbage lanes — harmless, their
-        content is dead until a full-row upload rebinds them."""
+        every resident slot.  The RMW covers the aligned 128-word tile
+        stripe containing the column ((X, 128), X*512 bytes ~ 25 MB at
+        n=212992): a (X, 1) single-word-column slice makes XLA's
+        layout assignment materialize a TRANSPOSED copy of the whole
+        cache (9.75 GiB temp, compile-time OOM at n=212992), while
+        full-tile access keeps the native (8, 128) tiling.  Empty
+        slots receive garbage lanes — harmless, their content is dead
+        until a full-row upload rebinds them."""
         wi = col // 4
+        w0 = (wi // 128) * 128                  # aligned tile stripe
+        lane = wi - w0
         sh = 8 * (col % 4).astype(jnp.uint32)
         pv = vals_bytes[jnp.maximum(c["rowof"], 0)]         # (X,)
-        wold = jax.lax.dynamic_slice(
-            c["cache"], (jnp.int32(0), wi), (X, 1))[:, 0]
-        wnew = (wold & ~(jnp.uint32(0xFF) << sh)) | (pv << sh)
-        wnew = jnp.where(on, wnew, wold)
+        tile = jax.lax.dynamic_slice(
+            c["cache"], (jnp.int32(0), w0), (X, 128))       # (X, 128)
+        lidx = jnp.asarray(np.arange(128, dtype=np.int32))
+        hit = (lidx[None, :] == lane) & on
+        wnew = (tile & ~(jnp.uint32(0xFF) << sh)) \
+            | (pv[:, None] << sh)
+        tile = jnp.where(hit, wnew, tile)
         return st(c, "cache", jax.lax.dynamic_update_slice(
-            c["cache"], wnew[:, None], (jnp.int32(0), wi)))
+            c["cache"], tile, (jnp.int32(0), w0)))
 
     def write_row(c, r, bytes_u32):
         """Store row r's content (u32 byte values) into its slot."""
@@ -420,7 +430,20 @@ def _streamed_segment(cache, slotof, rowof, sD2, Q, P, seed, I, J,
     slotof = slotof.at[jnp.where(old_rows >= 0, old_rows, n_)].set(
         -1, mode="drop")
     sw = jnp.where(valid, up_slots, X)
-    cache = cache.at[sw].set(up_words, mode="drop")
+    # per-row DUS loop, NOT a batch scatter: a top-level scatter on
+    # the > 2^31-element cache gets a fresh output buffer (a full
+    # 9.75 GiB cache copy at n=212992 — compile-time OOM); the DUS
+    # chain updates the donated buffer in place
+    W_ = cache.shape[1]
+
+    def _put(k, cch):
+        s = jnp.where(up_rows[k] >= 0, up_slots[k], 0)
+        old = jax.lax.dynamic_slice(cch, (s, jnp.int32(0)), (1, W_))
+        new = jnp.where(up_rows[k] >= 0, up_words[k][None, :], old)
+        return jax.lax.dynamic_update_slice(cch, new,
+                                            (s, jnp.int32(0)))
+
+    cache = jax.lax.fori_loop(0, up_rows.shape[0], _put, cache)
     rowof = rowof.at[sw].set(up_rows, mode="drop")
     slotof = slotof.at[jnp.where(valid, up_rows, n_)].set(
         jnp.where(valid, up_slots, -1), mode="drop")
