@@ -735,9 +735,6 @@ class StreamedDNJ:
             jnp.int32(0), jnp.bool_(True),                  # t, ok
             jnp.full(MMAX, -1, jnp.int32),                  # miss
         )
-        req0 = self._policy_refresh(state, 0)
-        up3, _ = self._plan_upload(req0, protect=req0[:3])
-
         total = max(m - 2, 0)
         mj = jnp.int32(m)
 
@@ -745,6 +742,19 @@ class StreamedDNJ:
             out = _streamed_segment(*state, *up3, jnp.int32(s1), mj,
                                     n=n, X=X, kbatch=self.kbatch)
             return out
+
+        # initial fill in bounded chunks (one unbounded batch would
+        # stage up to X rows on device — ~28 GB at n=212992): each
+        # chunk rides a zero-join segment dispatch (t1 == t applies
+        # the upload and runs nothing)
+        req0 = self._policy_refresh(state, 0)
+        while True:
+            fill3, u = self._plan_upload(req0, protect=req0[:3],
+                                         max_new=2048)
+            if u == 0:
+                break
+            state = seg_call(state, fill3, 0)
+        up3 = self._empty_up()
 
         done = 0
         seg = int(os.environ.get("CCPHYLO_TPU_SEG", "512") or 512)
@@ -820,7 +830,7 @@ class StreamedDNJ:
                                 m_t))
                 up3, u = self._plan_upload(
                     req, protect=rows + self._recent + hz,
-                    max_new=4096)
+                    max_new=2048)
                 if prog == 0:
                     # u == 0: nothing progressed and nothing could be
                     # installed — the working set genuinely exceeds
