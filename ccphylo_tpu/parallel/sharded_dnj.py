@@ -132,6 +132,32 @@ def _dnj_programs(mesh: Mesh, axis: str, npad: int, n: int,
             return jax.lax.psum(
                 jnp.where(own, vec_l[lr].astype(dtype), fill), axis)
 
+        def col_set(Dl, col, vals_l, on_l):
+            """Column write as an aligned 128-column tile RMW: a
+            traced-column scatter materializes a fresh (R, npad)
+            output every join (profiled: ~12.6 ms/join of pure copy
+            at n=32768 — 2/3 of the engine's 17x overhead vs the
+            packed engine), while full-tile DS/DUS updates the loop
+            carry in place."""
+            w0 = ((col // 128) * 128).astype(jnp.int32)
+            tile = jax.lax.dynamic_slice(
+                Dl, (jnp.int32(0), w0), (R, 128))
+            l128 = jnp.arange(128)
+            hit = (l128[None, :] == (col - w0)) & on_l[:, None]
+            tile = jnp.where(hit, vals_l[:, None].astype(dtype), tile)
+            return jax.lax.dynamic_update_slice(
+                Dl, tile, (jnp.int32(0), w0))
+
+        def row_set(Dl, lr_w, vals_f):
+            """Row write with drop semantics via clamped DUS (same
+            copy hazard as col_set for the row scatter)."""
+            s = jnp.minimum(lr_w, R - 1).astype(jnp.int32)
+            old = jax.lax.dynamic_slice(
+                Dl, (s, jnp.int32(0)), (1, npad))
+            new = jnp.where(lr_w < R, vals_f.astype(dtype), old[0])
+            return jax.lax.dynamic_update_slice(
+                Dl, new[None, :], (s, jnp.int32(0)))
+
         def one_join(t, carry):
             Dl, sDl, Nl, Ql, Pl, seed, I, J, LI, LJ = carry
             m_t = n - t
@@ -328,9 +354,9 @@ def _dnj_programs(mesh: Mesh, axis: str, npad: int, n: int,
             sDl = sDl.at[lj_w].set(sDj_new, mode="drop")
             Nl = Nl.at[lj_w].set(Nj_new, mode="drop")
             # column j for my rows; row j for its owner
-            Dl = Dl.at[:, j].set(jnp.where(validk_l, newd_l, Dl[:, j]))
+            Dl = col_set(Dl, j, newd_l, validk_l)
             rowj_new = jnp.where(validk_f, newd_masked, rowj)
-            Dl = Dl.at[lj_w, :].set(rowj_new, mode="drop")
+            Dl = row_set(Dl, lj_w, rowj_new)
 
             # replicated new global sD / N (avoids a second all-gather)
             sDg2 = sDg + sd_delta_g
@@ -376,8 +402,9 @@ def _dnj_programs(mesh: Mesh, axis: str, npad: int, n: int,
             owni, li = own_row(i)
             ownl, ll = own_row(last)
             li_w = jnp.where(g & owni, li, R)
-            Dl = Dl.at[li_w, :].set(moved_f, mode="drop")
-            Dl = Dl.at[:, i].set(jnp.where(g, moved_f[gi], Dl[:, i]))
+            Dl = row_set(Dl, li_w, moved_f)
+            Dl = col_set(Dl, i, moved_f[gi],
+                         jnp.broadcast_to(g, (R,)))
             sD_last = sDg2[last]
             N_last = Ng2[last]
             sDl = sDl.at[li_w].set(sD_last, mode="drop")
